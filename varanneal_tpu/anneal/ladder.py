@@ -1,0 +1,78 @@
+"""The precision-annealing β ladder, fused into one compiled program.
+
+Reference protocol (``varanneal/va_ode.py :: Annealer.anneal /
+anneal_step`` [H, SURVEY.md §3.1]): for each β in beta_array, minimize the
+action at RF = RF0·α^β warm-started from the previous β's minimizer, and
+record A/ME/FE, the optimizer exit flag, and the minimizing path.
+
+TPU-native differences (the point of the rebuild):
+
+- the β loop is a ``lax.scan`` whose carry is the warm-started decision
+  vector — RF enters as a *traced* value, so there is ONE compile for the
+  whole ladder instead of the reference's one ADOL-C re-tape per β;
+- the inner solve is the device-side bounded L-BFGS (``opt/lbfgs.py``)
+  under ``lax.while_loop``;
+- a failed inner solve is recorded, not retried — annealing proceeds
+  regardless, preserving the reference's exit-flag semantics (SURVEY.md §5
+  "failure detection").
+
+Per-member iteration/eval counters ride through the scan, giving the
+BASELINE metric (action+grad evals/sec) for free.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from varanneal_tpu.opt.lbfgs import lbfgs_minimize, LBFGSOptions
+
+
+class LadderResult(NamedTuple):
+    XP: jnp.ndarray         # final (lowest-β-last) minimizer, (n_dof,)
+    A: jnp.ndarray          # (Nbeta,) action at each β's minimizer
+    ME: jnp.ndarray         # (Nbeta,)
+    FE: jnp.ndarray         # (Nbeta,)
+    status: jnp.ndarray     # (Nbeta,) raw L-BFGS status codes
+    niter: jnp.ndarray      # (Nbeta,)
+    nfev: jnp.ndarray       # (Nbeta,) action+grad evaluations
+    pgnorm: jnp.ndarray     # (Nbeta,)
+    paths: Optional[jnp.ndarray]    # (Nbeta, n_dof) minimizers, if stored
+
+
+def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
+               lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
+               store_paths: bool = True) -> LadderResult:
+    """Run the full annealing ladder from initial decision vector ``XP0``.
+
+    ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
+    ``rf0``: scalar or canonical array RF0; ``alpha``: ladder base.
+    ``store_paths=False`` drops the (Nbeta, n_dof) minimizer record — use for
+    very large ensembles where that array would dominate HBM (SURVEY.md §7
+    memory note).
+    """
+    opts = opts or LBFGSOptions()
+    XP0 = jnp.asarray(XP0)
+    dtype = XP0.dtype
+    betas = jnp.asarray(betas, dtype)
+    rf0 = jnp.asarray(rf0, dtype)
+    alpha = jnp.asarray(alpha, dtype)
+    vag = jax.value_and_grad(action)
+
+    def step(XP, beta):
+        rf = rf0 * alpha ** beta
+        res = lbfgs_minimize(lambda z: vag(z, rf), XP,
+                             lower=lower, upper=upper, opts=opts)
+        A, me, fe = action_parts(res.x, rf)
+        rec = dict(A=A, ME=me, FE=fe, status=res.status, niter=res.niter,
+                   nfev=res.nfev, pgnorm=res.pgnorm)
+        if store_paths:
+            rec["paths"] = res.x
+        return res.x, rec
+
+    XPf, recs = lax.scan(step, XP0, betas)
+    return LadderResult(
+        XP=XPf, A=recs["A"], ME=recs["ME"], FE=recs["FE"],
+        status=recs["status"], niter=recs["niter"], nfev=recs["nfev"],
+        pgnorm=recs["pgnorm"], paths=recs.get("paths"))

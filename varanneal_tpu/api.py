@@ -1,0 +1,284 @@
+"""Annealer facade — the reference-compatible public surface.
+
+Mirrors ``varanneal/va_ode.py :: Annealer`` (set_model / set_data /
+set_data_fromfile / anneal / save_paths / save_params /
+save_action_errors — SURVEY.md §2), with the same kwarg vocabulary so
+reference scripts port mechanically. Underneath, everything is the pure-JAX
+machinery: one jitted ``lax.scan`` ladder per problem, not one ADOL-C tape
+per β.
+
+Compatibility notes (pinned decisions, reference mount empty):
+
+- ``adolcID`` is accepted and ignored — there is no global tape registry to
+  namespace; ensembles are vmapped instead (``parallel/ensemble.py``).
+- ``method`` accepts 'L-BFGS-B' (device-side bounded L-BFGS). The
+  reference's secondary SciPy methods (TNC/CG [M]) are not part of the
+  minimum surface.
+- exit flags are mapped to SciPy-like codes: 0 converged (pgtol or ftol),
+  1 maxiter exhausted, 2 line-search failure.
+"""
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from varanneal_tpu.ops.spec import build_spec, canonical_R, _insert_midpoints
+from varanneal_tpu.ops.action import make_action, pack
+from varanneal_tpu.opt.lbfgs import LBFGSOptions
+from varanneal_tpu.anneal.ladder import run_ladder
+from varanneal_tpu import io as vio
+
+_STATUS_TO_SCIPY = np.array([0, 0, 1, 2])  # CONV_GRAD/CONV_FTOL/MAXITER/LS_FAIL
+
+
+def _default_dtype():
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def make_lbfgs_options(opt_args: Optional[dict]) -> LBFGSOptions:
+    """Map a reference-style ``opt_args`` dict (SciPy minimize options) onto
+    LBFGSOptions. Accepts maxiter, maxcor/m, maxls, gtol/pgtol, ftol, factr.
+    """
+    opt_args = dict(opt_args or {})
+    kw = {}
+    if "maxiter" in opt_args:
+        kw["maxiter"] = int(opt_args.pop("maxiter"))
+    if "maxcor" in opt_args:
+        kw["m"] = int(opt_args.pop("maxcor"))
+    if "m" in opt_args:
+        kw["m"] = int(opt_args.pop("m"))
+    if "maxls" in opt_args:
+        kw["maxls"] = int(opt_args.pop("maxls"))
+    if "gtol" in opt_args:
+        kw["pgtol"] = float(opt_args.pop("gtol"))
+    if "pgtol" in opt_args:
+        kw["pgtol"] = float(opt_args.pop("pgtol"))
+    if "factr" in opt_args:
+        kw["ftol"] = float(opt_args.pop("factr")) * np.finfo(np.float64).eps
+    if "ftol" in opt_args:
+        kw["ftol"] = float(opt_args.pop("ftol"))
+    opt_args.pop("maxfun", None)   # accepted, unused (nfev tracked per solve)
+    opt_args.pop("disp", None)
+    if opt_args:
+        raise ValueError(f"unsupported opt_args: {sorted(opt_args)}")
+    return LBFGSOptions(**kw)
+
+
+def build_bounds(spec, bounds, dtype):
+    """Replicate per-variable bounds over every time index (reference bounds
+    semantics, SURVEY.md §2): ``bounds`` is a list of D (lo, hi) pairs for
+    the state variables followed by NPest pairs for the estimated
+    parameters. Returns flat (lower, upper) arrays or (None, None).
+    """
+    if bounds is None:
+        return None, None
+    bounds = list(bounds)
+    if len(bounds) != spec.D + spec.NPest:
+        raise ValueError(
+            f"bounds must have D + NPest = {spec.D + spec.NPest} entries, "
+            f"got {len(bounds)}")
+    inf = np.inf
+    lo = np.array([(-inf if b[0] is None else b[0]) for b in bounds], dtype)
+    hi = np.array([(inf if b[1] is None else b[1]) for b in bounds], dtype)
+    lower = np.tile(lo[: spec.D], spec.N_f)
+    upper = np.tile(hi[: spec.D], spec.N_f)
+    if spec.NPest:
+        rep = spec.N_f if spec.time_dep_p else 1
+        lower = np.concatenate([lower, np.tile(lo[spec.D:], rep)])
+        upper = np.concatenate([upper, np.tile(hi[spec.D:], rep)])
+    # replace inf with finite sentinels handled inside lbfgs via clip of
+    # huge values; jnp.clip with inf is fine, keep as-is.
+    return lower, upper
+
+
+class Annealer:
+    """Variational annealing driver for ODE problems (reference-compatible).
+
+    Usage matches the reference::
+
+        ann = Annealer()
+        ann.set_model(f, D)
+        ann.set_data(data, t=t)                 # data: (N, L) observations
+        ann.anneal(X0, P0, alpha, beta_array, RM, RF0, Lidx, Pidx, ...)
+        ann.save_paths("paths.npy")
+    """
+
+    def __init__(self):
+        self.f = None
+        self.D = None
+        self.data = None
+        self.t_data = None
+        self.stim = None
+        self.annealing_run = False
+
+    # ------------------------------------------------------------------
+    def set_model(self, f, D):
+        """Store the vector field f(t, x, p) (vectorized over time) and the
+        state dimension D."""
+        self.f = f
+        self.D = int(D)
+
+    def set_data(self, data, stim=None, t=None, nstart=0, N=None):
+        """Window and store the observation series.
+
+        ``data``: (N_total, L) observed values; ``t``: (N_total,) times
+        (required); ``stim``: optional (N_total,) or (N_total, S) stimulus;
+        ``nstart``/``N``: window selection (reference semantics)."""
+        data = np.asarray(data, dtype=np.float64)
+        if data.ndim == 1:
+            data = data[:, None]
+        if t is None:
+            raise ValueError("set_data requires t (time array)")
+        t = np.asarray(t, dtype=np.float64)
+        N = data.shape[0] - nstart if N is None else int(N)
+        sl = slice(nstart, nstart + N)
+        self.data = data[sl]
+        self.t_data = t[sl]
+        if stim is not None:
+            stim = np.asarray(stim, dtype=np.float64)
+            if stim.ndim == 1:
+                stim = stim[:, None]
+            self.stim = stim[sl]
+        else:
+            self.stim = None
+
+    def set_data_fromfile(self, data_file, stim_file=None, nstart=0, N=None):
+        """Load data from file; column 0 is time, remaining columns are the
+        observed variables (reference convention [M])."""
+        raw = vio.load_data(data_file)
+        stim = None
+        if stim_file is not None:
+            sraw = vio.load_data(stim_file)
+            stim = sraw[:, 1:] if sraw.ndim == 2 else sraw
+        self.set_data(raw[:, 1:], stim=stim, t=raw[:, 0], nstart=nstart, N=N)
+
+    # ------------------------------------------------------------------
+    def anneal(self, X0, P0, alpha, beta_array, RM, RF0, Lidx, Pidx=None,
+               dt_model=None, init_to_data=True, action="A_gaussian",
+               disc="trapezoid", method="L-BFGS-B", bounds=None,
+               opt_args=None, adolcID=0, dtype=None, track_paths=True,
+               verbose=False):
+        """Run the full precision-annealing ladder.
+
+        Signature mirrors the reference (``varanneal/va_ode.py ::
+        Annealer.anneal`` [M, SURVEY.md §2]). Extra TPU-native kwargs:
+        ``dtype`` (default f64 when x64 is on), ``track_paths`` (store all
+        per-β minimizers; disable for huge problems), ``verbose``.
+        """
+        if self.f is None or self.data is None:
+            raise RuntimeError("call set_model and set_data before anneal")
+        if action != "A_gaussian":
+            raise ValueError("only action='A_gaussian' is supported")
+        if method not in ("L-BFGS-B", "LBFGS"):
+            raise ValueError(f"unsupported method {method!r}")
+        del adolcID  # no tape registry; kept for signature compatibility
+        dtype = dtype or _default_dtype()
+
+        P0 = np.asarray(P0, dtype=np.float64)
+        spec = build_spec(
+            self.f, self.D, self.data, self.t_data, Lidx, RM, disc=disc,
+            P=P0, pidx=Pidx, stim=self.stim, dt_model=dt_model)
+        self.spec = spec
+
+        # ---- initial path on the model grid --------------------------
+        X0 = np.array(X0, dtype=np.float64, copy=True)
+        nskip = spec.obs_stride if disc != "SimpsonHermite" else (
+            spec.obs_stride // 2)
+        N_base = (spec.N_data - 1) * nskip + 1
+        if X0.shape == (spec.N_data, spec.D) and N_base != spec.N_data:
+            from varanneal_tpu.ops.spec import _interp_grid
+            X0 = _interp_grid(X0, N_base)
+        if X0.shape != (N_base, spec.D):
+            raise ValueError(
+                f"X0 must have shape ({spec.N_data},{spec.D}) or "
+                f"({N_base},{spec.D}), got {X0.shape}")
+        if init_to_data:
+            X0[::nskip, np.asarray(spec.Lidx)] = spec.Y
+        if disc == "SimpsonHermite":
+            X0 = _insert_midpoints(X0)
+
+        XP0 = np.asarray(pack(spec, jnp.asarray(X0)), dtype=dtype)
+
+        rf0 = canonical_R(RF0, spec.N_f - 1, spec.D, "RF0").astype(dtype)
+        lower, upper = build_bounds(spec, bounds, dtype)
+        opts = make_lbfgs_options(opt_args)
+        betas = np.asarray(beta_array, dtype=dtype)
+
+        act, parts = make_action(spec)
+
+        @jax.jit
+        def _ladder(XP0, betas):
+            return run_ladder(act, parts, XP0, betas, rf0, float(alpha),
+                              lower=lower, upper=upper, opts=opts,
+                              store_paths=track_paths)
+
+        t0 = time.time()
+        res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
+        res = jax.tree_util.tree_map(np.asarray, res)
+        t1 = time.time()
+        if verbose:
+            tot_nfev = int(res.nfev.sum())
+            print(f"[varanneal_tpu] ladder of {len(betas)} beta steps: "
+                  f"{t1 - t0:.3f} s wall (incl. compile on first call), "
+                  f"{tot_nfev} action+grad evals")
+
+        # ---- store results (reference attribute names) ----------------
+        self.beta_array = np.asarray(beta_array)
+        self.alpha = float(alpha)
+        self.A_array = res.A
+        self.me_array = res.ME
+        self.fe_array = res.FE
+        self.exitflags = _STATUS_TO_SCIPY[res.status]
+        self.niter_array = res.niter
+        self.nfev_array = res.nfev
+        self.pgnorm_array = res.pgnorm
+        self.XP_final = res.XP
+        if track_paths:
+            self.minpaths = res.paths
+        else:
+            self.minpaths = res.XP[None, :]
+        self.annealing_run = True
+        self.anneal_wall_s = t1 - t0
+        return res
+
+    # ------------------------------------------------------------------
+    def _check_run(self):
+        if not self.annealing_run:
+            raise RuntimeError("run anneal() first")
+
+    @property
+    def minpaths_X(self):
+        self._check_run()
+        spec = self.spec
+        return self.minpaths[:, : spec.n_state].reshape(
+            -1, spec.N_f, spec.D)
+
+    @property
+    def minpaths_P(self):
+        self._check_run()
+        spec = self.spec
+        if not spec.NPest:
+            return np.zeros((self.minpaths.shape[0], 0))
+        pest = self.minpaths[:, spec.n_state:]
+        if spec.time_dep_p:
+            return pest.reshape(-1, spec.N_f, spec.NPest)
+        return pest
+
+    def save_paths(self, filename):
+        self._check_run()
+        return vio.save_paths(filename, self.minpaths_X,
+                              np.asarray(self.spec.t_f))
+
+    def save_params(self, filename):
+        self._check_run()
+        return vio.save_params(filename, self.minpaths_P,
+                               np.asarray(self.spec.t_f))
+
+    def save_action_errors(self, filename):
+        self._check_run()
+        return vio.save_action_errors(
+            filename, self.beta_array, self.A_array, self.me_array,
+            self.fe_array)

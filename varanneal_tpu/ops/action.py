@@ -1,0 +1,114 @@
+"""The Gaussian VA action: measurement error + annealed model error.
+
+This module is ~90% of the numerical contract with the reference
+(``varanneal/va_ode.py :: Annealer.A_gaussian / me_gaussian / fe_gaussian``
+[M/H, SURVEY.md §3.2]); every normalization here is pinned by the independent
+NumPy oracle in ``tests/oracle.py``:
+
+    A(XP, rf) = ME(X) + FE(X, P; rf)
+    ME = (1 / (L * N_data))    * sum_n sum_{l in Lidx} RM ⊙ (x_l(t_n) - y_l(t_n))^2
+    FE = (1 / (D * (N_f - 1))) * sum over residual rows of rf ⊙ g^2
+
+with RM in {scalar, (N_data, L), (N_data, L, L)} and rf in
+{scalar, (N_f-1, D), (N_f-1, D, D)}. For Hermite–Simpson, even rf rows
+(rf[::2]) weight the Simpson residuals and odd rows (rf[1::2]) the Hermite
+residuals, matching the reference's interleaved convention [M].
+
+Only ``XP`` (flat decision vector) and ``rf`` (annealed precision) are traced
+arguments — the whole β ladder shares one XLA compilation.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from varanneal_tpu.ops.spec import ProblemSpec
+from varanneal_tpu.ops.disc import model_residuals
+
+
+def pack(spec: ProblemSpec, X, P=None):
+    """Flatten (X, estimated-parameter values) into the decision vector XP.
+
+    Packing order [pinned-by-oracle, SURVEY.md §2 'Decision-variable
+    packing']: row-major X.flatten() then the estimated parameters (row-major
+    (N_f, NPest) in the time-dependent case).
+    """
+    parts = [jnp.reshape(X, (-1,))]
+    if spec.NPest:
+        P = spec.P_base if P is None else P
+        P = jnp.asarray(P)
+        pcols = np.asarray(spec.pidx, dtype=np.int32)
+        if spec.time_dep_p:
+            parts.append(jnp.reshape(P[:, pcols], (-1,)))
+        else:
+            parts.append(jnp.reshape(P[pcols], (-1,)))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
+def unpack(spec: ProblemSpec, XP):
+    """Split XP into X (N_f, D) and the full parameter array (estimated
+    entries merged into the fixed base values)."""
+    X = jnp.reshape(XP[: spec.n_state], (spec.N_f, spec.D))
+    P = jnp.asarray(spec.P_base, dtype=XP.dtype)
+    if spec.NPest:
+        pest = XP[spec.n_state:]
+        pcols = np.asarray(spec.pidx, dtype=np.int32)
+        if spec.time_dep_p:
+            P = P.at[:, pcols].set(jnp.reshape(pest, (spec.N_f, spec.NPest)))
+        else:
+            P = P.at[pcols].set(pest)
+    return X, P
+
+
+def _quad(R, d):
+    """Quadratic contraction sum of R against residual rows d (N, K).
+
+    R: scalar -> R * sum(d^2); (N, K) -> sum(R * d^2);
+    (N, K, K) -> sum_n d_n . R_n . d_n.
+    """
+    R = jnp.asarray(R, dtype=d.dtype)
+    if R.ndim == 0:
+        return R * jnp.sum(d * d)
+    if R.ndim == 2:
+        return jnp.sum(R * d * d)
+    return jnp.einsum("nk,nkl,nl->", d, R, d)
+
+
+def measurement_error(spec: ProblemSpec, X):
+    """ME = (1/(L*N_data)) * quad(RM, x_obs - Y)."""
+    x_obs = X[:: spec.obs_stride][:, np.asarray(spec.Lidx, dtype=np.int32)]
+    diff = x_obs - jnp.asarray(spec.Y, dtype=X.dtype)
+    return _quad(spec.RM, diff) / (spec.L * spec.N_data)
+
+
+def model_error(spec: ProblemSpec, X, P, rf):
+    """FE = (1/(D*(N_f-1))) * quad(rf, residual rows)."""
+    res = model_residuals(spec, X, P)
+    if spec.disc == "SimpsonHermite":
+        simpson, hermite = res
+        rf = jnp.asarray(rf, dtype=X.dtype)
+        if rf.ndim == 0:
+            ferr = rf * (jnp.sum(simpson * simpson)
+                         + jnp.sum(hermite * hermite))
+        else:
+            ferr = _quad(rf[::2], simpson) + _quad(rf[1::2], hermite)
+    else:
+        ferr = _quad(rf, res)
+    return ferr / (spec.D * (spec.N_f - 1))
+
+
+def make_action(spec: ProblemSpec):
+    """Build the pure action functions for a problem.
+
+    Returns ``(action, action_parts)`` with signatures
+    ``action(XP, rf) -> A`` and ``action_parts(XP, rf) -> (A, ME, FE)``.
+    """
+    def action_parts(XP, rf):
+        X, P = unpack(spec, XP)
+        me = measurement_error(spec, X)
+        fe = model_error(spec, X, P, rf)
+        return me + fe, me, fe
+
+    def action(XP, rf):
+        return action_parts(XP, rf)[0]
+
+    return action, action_parts

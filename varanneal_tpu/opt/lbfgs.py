@@ -1,0 +1,382 @@
+"""Bounded L-BFGS, device-side, as one ``lax.while_loop``.
+
+This replaces the reference's inner minimizer — SciPy's Fortran L-BFGS-B
+(``varanneal/_autodiffmin.py :: ADmin.min_lbfgs_scipy`` [M, SURVEY.md §2]) —
+with a pure-JAX implementation so the whole annealing ladder compiles into a
+single XLA program and vmaps across ensemble members (SURVEY.md §7
+"hard parts" #1).
+
+Design:
+
+- two-loop recursion over a static-size circular history (m slots, dynamic
+  row gathers, no rolling copies);
+- strong-Wolfe line search (bracket + zoom with safeguarded cubic
+  interpolation) run as a one-eval-per-iteration state machine inside a
+  nested ``lax.while_loop`` — exactly one value_and_grad per line-search
+  step, so evals/sec is a clean metric;
+- box bounds via active-set gradient projection: bound-active components are
+  frozen out of the direction, the step is capped at the first bound crossing
+  and the iterate clipped — L-BFGS-B *semantics* (projected-gradient
+  termination, feasible iterates), not its subspace minimization. Parity with
+  SciPy is defined at converged minima (SURVEY.md §7), and tested.
+- termination mirrors SciPy L-BFGS-B: ``pgtol`` on the max-norm of the
+  projected gradient, ``ftol`` on the relative action decrease, ``maxiter``.
+
+Everything is static-shape and data-branch-free, so the solver vmaps: under
+vmap the while_loop runs until all lanes converge, with converged lanes
+masked to no-ops (the ``done`` flag guards every state update).
+"""
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSOptions:
+    """Solver options (defaults mirror SciPy L-BFGS-B's)."""
+    m: int = 10                 # history size (scipy maxcor)
+    maxiter: int = 1000
+    ftol: float = 2.220446049250313e-09   # scipy default factr=1e7 -> 1e7*eps
+    pgtol: float = 1e-5
+    maxls: int = 30
+    c1: float = 1e-4            # Armijo constant
+    c2: float = 0.9             # curvature constant
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    niter: jnp.ndarray
+    nfev: jnp.ndarray
+    status: jnp.ndarray     # 0 pgtol-converged, 1 ftol-converged,
+    #                         2 maxiter, 3 line-search failure / NaN
+    pgnorm: jnp.ndarray
+
+
+# status codes
+CONV_GRAD, CONV_FTOL, MAXITER, LS_FAIL = 0, 1, 2, 3
+
+
+def _dot(a, b):
+    return jnp.sum(a * b)
+
+
+def _project(x, lower, upper):
+    return jnp.clip(x, lower, upper)
+
+
+def _proj_grad(x, g, lower, upper):
+    """SciPy's projected gradient: x - P(x - g)."""
+    return x - _project(x - g, lower, upper)
+
+
+def _cubic_min(a, fa, dfa, b, fb, dfb):
+    """Minimizer of the cubic Hermite interpolant on [a, b]; NaN-safe fall
+    back to bisection."""
+    d1 = dfa + dfb - 3.0 * (fa - fb) / (a - b)
+    arg = d1 * d1 - dfa * dfb
+    d2 = jnp.sqrt(jnp.maximum(arg, 0.0)) * jnp.sign(b - a)
+    denom = dfb - dfa + 2.0 * d2
+    t = b - (b - a) * (dfb + d2 - d1) / denom
+    bad = (arg < 0.0) | ~jnp.isfinite(t) | (denom == 0.0)
+    return jnp.where(bad, 0.5 * (a + b), t)
+
+
+class _LSState(NamedTuple):
+    stage: jnp.ndarray      # 0 bracket, 1 zoom
+    done: jnp.ndarray
+    failed: jnp.ndarray
+    i: jnp.ndarray          # evals used
+    a: jnp.ndarray          # next trial step
+    a_prev: jnp.ndarray
+    f_prev: jnp.ndarray
+    d_prev: jnp.ndarray     # dphi at a_prev
+    a_lo: jnp.ndarray
+    f_lo: jnp.ndarray
+    d_lo: jnp.ndarray
+    a_hi: jnp.ndarray
+    f_hi: jnp.ndarray
+    d_hi: jnp.ndarray
+    a_star: jnp.ndarray
+    f_star: jnp.ndarray
+    g_star: jnp.ndarray     # gradient at accepted point (full vector)
+
+
+def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
+    """Strong-Wolfe line search along d from x.
+
+    ``vag(x) -> (f, g)``. Returns (a_star, f_star, g_star, nfev, ok).
+    One vag evaluation per while iteration.
+    """
+    dtype = x.dtype
+    dphi0 = _dot(g0, d)
+    c1, c2 = jnp.asarray(opts.c1, dtype), jnp.asarray(opts.c2, dtype)
+    zero = jnp.zeros((), dtype)
+
+    init = _LSState(
+        stage=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool), i=jnp.zeros((), jnp.int32),
+        a=jnp.minimum(jnp.asarray(a_init, dtype), a_max),
+        a_prev=zero, f_prev=f0, d_prev=dphi0,
+        a_lo=zero, f_lo=f0, d_lo=dphi0,
+        a_hi=zero, f_hi=f0, d_hi=dphi0,
+        a_star=zero, f_star=f0, g_star=g0)
+
+    def cond(s):
+        return ~(s.done | s.failed) & (s.i < opts.maxls)
+
+    def body(s):
+        f_a, g_a = vag(x + s.a * d)
+        dphi_a = _dot(g_a, d)
+        i = s.i + 1
+        armijo_fail = (f_a > f0 + c1 * s.a * dphi0)
+        nan_bad = ~jnp.isfinite(f_a)
+        curv_ok = jnp.abs(dphi_a) <= -c2 * dphi0
+
+        def bracket_step(s):
+            # Nocedal-Wright alg. 3.5 bracketing after one eval at s.a
+            hi_cond = armijo_fail | ((i > 1) & (f_a >= s.f_prev)) | nan_bad
+            accept = ~hi_cond & curv_ok
+            to_zoom_rev = ~hi_cond & ~curv_ok & (dphi_a >= 0)
+            # enter zoom with (lo, hi)
+            enter_zoom = hi_cond | to_zoom_rev
+            a_lo = jnp.where(hi_cond, s.a_prev, s.a)
+            f_lo = jnp.where(hi_cond, s.f_prev, f_a)
+            d_lo = jnp.where(hi_cond, s.d_prev, dphi_a)
+            a_hi = jnp.where(hi_cond, s.a, s.a_prev)
+            f_hi = jnp.where(hi_cond, f_a, s.f_prev)
+            d_hi = jnp.where(hi_cond, dphi_a, s.d_prev)
+            # next trial
+            a_zoom = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
+            width = jnp.abs(a_hi - a_lo)
+            a_zoom = jnp.clip(a_zoom,
+                              jnp.minimum(a_lo, a_hi) + 0.1 * width,
+                              jnp.maximum(a_lo, a_hi) - 0.1 * width)
+            a_expand = jnp.minimum(2.0 * s.a, a_max)
+            # expanding past a_max with no accept: fail if already at a_max
+            stuck = (~enter_zoom & ~accept) & (s.a >= a_max)
+            return s._replace(
+                stage=jnp.where(enter_zoom, 1, 0).astype(jnp.int32),
+                done=accept,
+                failed=stuck | (nan_bad & (i >= opts.maxls)),
+                i=i,
+                a=jnp.where(enter_zoom, a_zoom, a_expand),
+                a_prev=s.a, f_prev=f_a, d_prev=dphi_a,
+                a_lo=a_lo, f_lo=f_lo, d_lo=d_lo,
+                a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
+                a_star=jnp.where(accept, s.a, s.a_star),
+                f_star=jnp.where(accept, f_a, s.f_star),
+                g_star=jnp.where(accept, g_a, s.g_star))
+
+        def zoom_step(s):
+            hi_cond = armijo_fail | (f_a >= s.f_lo) | nan_bad
+            accept = ~hi_cond & curv_ok
+            swap = ~hi_cond & ~curv_ok & (dphi_a * (s.a_hi - s.a_lo) >= 0)
+            a_hi = jnp.where(hi_cond, s.a, jnp.where(swap, s.a_lo, s.a_hi))
+            f_hi = jnp.where(hi_cond, f_a, jnp.where(swap, s.f_lo, s.f_hi))
+            d_hi = jnp.where(hi_cond, dphi_a,
+                             jnp.where(swap, s.d_lo, s.d_hi))
+            a_lo = jnp.where(hi_cond, s.a_lo, s.a)
+            f_lo = jnp.where(hi_cond, s.f_lo, f_a)
+            d_lo = jnp.where(hi_cond, s.d_lo, dphi_a)
+            width = jnp.abs(a_hi - a_lo)
+            a_next = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
+            a_next = jnp.clip(a_next,
+                              jnp.minimum(a_lo, a_hi) + 0.1 * width,
+                              jnp.maximum(a_lo, a_hi) - 0.1 * width)
+            tiny = width <= 1e-14 * jnp.maximum(1.0, jnp.abs(a_lo))
+            return s._replace(
+                done=accept, failed=tiny & ~accept, i=i, a=a_next,
+                a_lo=a_lo, f_lo=f_lo, d_lo=d_lo,
+                a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
+                a_star=jnp.where(accept, s.a, s.a_star),
+                f_star=jnp.where(accept, f_a, s.f_star),
+                g_star=jnp.where(accept, g_a, s.g_star))
+
+        return lax.cond(s.stage == 0, bracket_step, zoom_step, s)
+
+    s = lax.while_loop(cond, body, init)
+
+    # Fallback: no Wolfe point found but the zoom bracket's lo end still
+    # improves on f0 (Armijo holds there by construction) — take it.
+    have_lo = (s.a_lo > 0) & (s.f_lo < f0)
+    ok = s.done | have_lo
+
+    def eval_lo():
+        f_lo, g_lo = vag(x + s.a_lo * d)
+        return s.a_lo, f_lo, g_lo
+
+    a_star, f_star, g_star = lax.cond(
+        s.done,
+        lambda: (s.a_star, s.f_star, s.g_star),
+        lambda: lax.cond(
+            have_lo, eval_lo, lambda: (jnp.zeros_like(s.a_star), f0, g0)))
+    nfev = s.i + jnp.where(s.done | ~have_lo, 0, 1)
+    return a_star, f_star, g_star, nfev, ok
+
+
+class _State(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    S: jnp.ndarray        # (m, n) step history
+    Yh: jnp.ndarray       # (m, n) grad-diff history
+    rho: jnp.ndarray      # (m,) 1/(y.s)
+    head: jnp.ndarray     # next write slot
+    hlen: jnp.ndarray     # valid history length
+    niter: jnp.ndarray
+    nfev: jnp.ndarray
+    status: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _two_loop(g, S, Yh, rho, head, hlen, m):
+    """Two-loop recursion, newest-to-oldest via dynamic row gathers."""
+    q = g
+    alphas = []
+    idxs = []
+    for j in range(m):
+        i = (head - 1 - j) % m
+        idxs.append(i)
+        valid = (j < hlen).astype(g.dtype)
+        s_i = jnp.take(S, i, axis=0)
+        y_i = jnp.take(Yh, i, axis=0)
+        r_i = jnp.take(rho, i)
+        a = valid * r_i * _dot(s_i, q)
+        q = q - a * y_i
+        alphas.append(a)
+    # gamma from newest pair
+    i0 = (head - 1) % m
+    y0 = jnp.take(Yh, i0, axis=0)
+    s0 = jnp.take(S, i0, axis=0)
+    yy = _dot(y0, y0)
+    gamma = jnp.where(hlen > 0, _dot(s0, y0) / jnp.maximum(yy, 1e-300), 1.0)
+    r = gamma * q
+    for j in reversed(range(m)):
+        i = idxs[j]
+        valid = (j < hlen).astype(g.dtype)
+        s_i = jnp.take(S, i, axis=0)
+        y_i = jnp.take(Yh, i, axis=0)
+        r_i = jnp.take(rho, i)
+        b = valid * r_i * _dot(y_i, r)
+        r = r + s_i * (alphas[j] - b)
+    return -r
+
+
+def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
+                   opts: Optional[LBFGSOptions] = None) -> LBFGSResult:
+    """Minimize ``f`` given ``value_and_grad(x) -> (f, g)`` from ``x0``,
+    optionally subject to box bounds ``lower <= x <= upper``.
+
+    Pure JAX: jit/vmap/scan-safe. See module docstring for semantics.
+    """
+    opts = opts or LBFGSOptions()
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    n = x0.shape[0]
+    m = opts.m
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    lower = (-big * jnp.ones(n, dtype) if lower is None
+             else jnp.broadcast_to(jnp.asarray(lower, dtype), (n,)))
+    upper = (big * jnp.ones(n, dtype) if upper is None
+             else jnp.broadcast_to(jnp.asarray(upper, dtype), (n,)))
+
+    x0 = _project(x0, lower, upper)
+    f0, g0 = value_and_grad(x0)
+
+    init = _State(
+        x=x0, f=f0, g=g0,
+        S=jnp.zeros((m, n), dtype), Yh=jnp.zeros((m, n), dtype),
+        rho=jnp.zeros((m,), dtype),
+        head=jnp.zeros((), jnp.int32), hlen=jnp.zeros((), jnp.int32),
+        niter=jnp.zeros((), jnp.int32), nfev=jnp.ones((), jnp.int32),
+        status=jnp.full((), MAXITER, jnp.int32),
+        done=jnp.zeros((), bool))
+
+    pg0 = jnp.max(jnp.abs(_proj_grad(x0, g0, lower, upper)))
+    init = init._replace(
+        done=pg0 <= opts.pgtol,
+        status=jnp.where(pg0 <= opts.pgtol, CONV_GRAD, MAXITER).astype(
+            jnp.int32))
+
+    def cond(s):
+        return ~s.done & (s.niter < opts.maxiter)
+
+    def body(s):
+        # ---- direction with bound-active components frozen -------------
+        eps_b = jnp.asarray(1e-12, dtype)
+        at_lo = (s.x <= lower + eps_b) & (s.g > 0)
+        at_hi = (s.x >= upper - eps_b) & (s.g < 0)
+        active = at_lo | at_hi
+        g_free = jnp.where(active, 0.0, s.g)
+        d = _two_loop(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m)
+        d = jnp.where(active, 0.0, d)
+        descent = _dot(s.g, d)
+        # reset to steepest descent if not a descent direction
+        bad_dir = (descent >= 0) | ~jnp.isfinite(descent)
+        d = jnp.where(bad_dir, -g_free, d)
+
+        # ---- max feasible step ------------------------------------------
+        step_to_hi = jnp.where(d > 0, (upper - s.x) / d, big)
+        step_to_lo = jnp.where(d < 0, (lower - s.x) / d, big)
+        a_max = jnp.minimum(jnp.min(jnp.minimum(step_to_hi, step_to_lo)),
+                            big)
+        a_max = jnp.maximum(a_max, jnp.asarray(1e-16, dtype))
+
+        # ---- line search -------------------------------------------------
+        gnorm1 = jnp.sum(jnp.abs(s.g))
+        a_init = jnp.where(
+            s.hlen == 0,
+            jnp.minimum(jnp.asarray(1.0, dtype),
+                        1.0 / jnp.maximum(gnorm1, 1e-300)),
+            jnp.asarray(1.0, dtype))
+        a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
+            value_and_grad, s.x, d, s.f, s.g, a_init, a_max, opts)
+        x_new = _project(s.x + a * d, lower, upper)
+
+        # ---- history update (skip on tiny curvature) ---------------------
+        sv = x_new - s.x
+        yv = g_new - s.g
+        sy = _dot(sv, yv)
+        good = ls_ok & (sy > 1e-10 * jnp.linalg.norm(sv)
+                        * jnp.linalg.norm(yv)) & (sy > 0)
+        S = jnp.where(good, s.S.at[s.head].set(sv), s.S)
+        Yh = jnp.where(good, s.Yh.at[s.head].set(yv), s.Yh)
+        rho = jnp.where(good,
+                        s.rho.at[s.head].set(1.0 / jnp.maximum(sy, 1e-300)),
+                        s.rho)
+        head = jnp.where(good, (s.head + 1) % m, s.head)
+        hlen = jnp.where(good, jnp.minimum(s.hlen + 1, m), s.hlen)
+
+        # ---- termination --------------------------------------------------
+        pgn = jnp.max(jnp.abs(_proj_grad(x_new, g_new, lower, upper)))
+        df = s.f - f_new
+        fden = jnp.maximum(jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0)
+        conv_g = pgn <= opts.pgtol
+        conv_f = df <= opts.ftol * fden
+        fail = ~ls_ok
+        done = conv_g | conv_f | fail
+        status = jnp.where(
+            conv_g, CONV_GRAD,
+            jnp.where(fail, LS_FAIL,
+                      jnp.where(conv_f, CONV_FTOL, MAXITER))).astype(
+            jnp.int32)
+
+        # keep old point on line-search failure
+        x_out = jnp.where(fail, s.x, x_new)
+        f_out = jnp.where(fail, s.f, f_new)
+        g_out = jnp.where(fail, s.g, g_new)
+        return _State(
+            x=x_out, f=f_out, g=g_out, S=S, Yh=Yh, rho=rho, head=head,
+            hlen=hlen, niter=s.niter + 1, nfev=s.nfev + ls_nfev,
+            status=status, done=done)
+
+    s = lax.while_loop(cond, body, init)
+    pgn = jnp.max(jnp.abs(_proj_grad(s.x, s.g, lower, upper)))
+    return LBFGSResult(x=s.x, f=s.f, g=s.g, niter=s.niter, nfev=s.nfev,
+                       status=s.status, pgnorm=pgn)
