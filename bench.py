@@ -1,0 +1,88 @@
+"""Benchmark: full precision-annealing ladder on the canonical config
+(Lorenz-96 D=20, L=8 observed, trapezoid, N=161, β=0..100 — BASELINE.md
+config #1, driver metric "wall-clock per full beta ladder").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the north-star target (1 s per init on one TPU core)
+divided by the measured wall-clock — >1 beats the target.
+
+Env knobs: BENCH_DTYPE=f32|f64 (default f32), BENCH_NINIT (default 1,
+vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
+101), BENCH_MAXITER (default 500).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype_s = os.environ.get("BENCH_DTYPE", "f32")
+    if dtype_s == "f64":
+        jax.config.update("jax_enable_x64", True)
+        dtype = np.float64
+        ftol, pgtol = 2.22e-9, 1e-8
+    else:
+        dtype = np.float32
+        ftol, pgtol = 1e-6, 1e-4
+    n_init = int(os.environ.get("BENCH_NINIT", "1"))
+    n_beta = int(os.environ.get("BENCH_NBETA", "101"))
+    maxiter = int(os.environ.get("BENCH_MAXITER", "500"))
+
+    from varanneal_tpu.twin import lorenz96_twin
+    from varanneal_tpu.models import lorenz96
+    from varanneal_tpu.ops import build_spec, make_action
+    from varanneal_tpu.opt import LBFGSOptions
+    from varanneal_tpu.parallel import (
+        make_ensemble_ladder, random_ensemble_inits)
+
+    tw = lorenz96_twin(D=20, N_data=161, n_obs=8)
+    spec = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
+                      disc="trapezoid", P=np.array([4.0]), pidx=[0])
+    action, parts = make_action(spec)
+
+    betas = jnp.arange(n_beta, dtype=dtype)
+    rf0 = dtype(4e-6 * tw["RM"])
+    opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol)
+    fn = make_ensemble_ladder(action, parts, betas, rf0, 1.5, opts=opts,
+                              store_paths=False)
+
+    xp0 = jnp.asarray(
+        random_ensemble_inits(spec, n_init, seed=3, dtype=dtype))
+
+    # compile + warm (excluded from timing)
+    res = fn(xp0)
+    jax.block_until_ready(res.A)
+
+    t0 = time.perf_counter()
+    res = fn(xp0)
+    jax.block_until_ready(res.A)
+    t1 = time.perf_counter()
+
+    wall = t1 - t0
+    per_init = wall / n_init
+    nfev = int(np.asarray(res.nfev).sum())
+    evals_per_sec = nfev / wall
+    target = 1.0  # north-star: <1 s per init for the full ladder
+    out = {
+        "metric": "lorenz96_d20_full_ladder_wall_s_per_init",
+        "value": round(per_init, 6),
+        "unit": "s/init",
+        "vs_baseline": round(target / per_init, 4),
+    }
+    print(json.dumps(out))
+    print(f"# device={jax.devices()[0].platform} dtype={dtype_s} "
+          f"n_init={n_init} n_beta={n_beta} maxiter={maxiter} "
+          f"total_nfev={nfev} action+grad_evals/s={evals_per_sec:,.0f} "
+          f"final_A_mean={float(np.asarray(res.A)[:, -1].mean()):.6g}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
