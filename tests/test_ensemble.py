@@ -1,0 +1,88 @@
+"""Multi-device tests on the forced 8-device CPU mesh (SURVEY.md §4 item 3):
+sharded ensemble ladders must equal the unsharded vmap bit-for-bit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from varanneal_tpu.models import lorenz96
+from varanneal_tpu.ops import build_spec, make_action
+from varanneal_tpu.opt import LBFGSOptions
+from varanneal_tpu.parallel import (
+    make_ensemble_ladder, ensemble_mesh, shard_batch, random_ensemble_inits)
+
+
+def _tiny_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    D, N_data = 6, 11
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    spec = build_spec(lorenz96, D, Y, t, [0, 2, 4], 4.0,
+                      disc="trapezoid", P=np.array([8.0]), pidx=[0])
+    return spec
+
+
+def test_sharded_matches_unsharded():
+    assert jax.device_count() >= 8, "conftest must force 8 cpu devices"
+    spec = _tiny_problem()
+    action, parts = make_action(spec)
+    betas = jnp.arange(3.0)
+    opts = LBFGSOptions(maxiter=25, pgtol=1e-9)
+
+    B = 16
+    xp0 = random_ensemble_inits(spec, B, seed=4)
+
+    plain = make_ensemble_ladder(action, parts, betas, 1e-4, 1.7, opts=opts,
+                                 store_paths=True)
+    res_plain = plain(jnp.asarray(xp0))
+
+    mesh = ensemble_mesh(8)
+    sharded_fn = make_ensemble_ladder(action, parts, betas, 1e-4, 1.7,
+                                      opts=opts, store_paths=True, mesh=mesh)
+    res_shard = sharded_fn(shard_batch(xp0, mesh))
+
+    np.testing.assert_array_equal(np.asarray(res_shard.A),
+                                  np.asarray(res_plain.A))
+    np.testing.assert_array_equal(np.asarray(res_shard.paths),
+                                  np.asarray(res_plain.paths))
+    np.testing.assert_array_equal(np.asarray(res_shard.niter),
+                                  np.asarray(res_plain.niter))
+    # the batch axis really is sharded over all 8 devices
+    assert len(res_shard.A.sharding.device_set) == 8
+
+
+def test_ensemble_member_independence():
+    """Each member's ladder must be independent: running a member solo gives
+    the same answer as inside the sharded batch."""
+    spec = _tiny_problem(seed=2)
+    action, parts = make_action(spec)
+    betas = jnp.arange(3.0)
+    opts = LBFGSOptions(maxiter=25, pgtol=1e-9)
+
+    B = 8
+    xp0 = random_ensemble_inits(spec, B, seed=5)
+    mesh = ensemble_mesh(8)
+    fn = make_ensemble_ladder(action, parts, betas, 1e-4, 1.7, opts=opts,
+                              store_paths=False, mesh=mesh)
+    res = fn(shard_batch(xp0, mesh))
+
+    from varanneal_tpu.anneal import run_ladder
+    solo = jax.jit(lambda x: run_ladder(action, parts, x, betas, 1e-4, 1.7,
+                                        opts=opts, store_paths=False))
+    r3 = solo(jnp.asarray(xp0[3]))
+    # batched and solo execution differ by summation order (vectorized
+    # reductions) which line-search branches amplify — same minima, not
+    # bitwise-identical iterates
+    np.testing.assert_allclose(np.asarray(res.A)[3], np.asarray(r3.A),
+                               rtol=1e-5)
+
+
+def test_random_inits_init_to_data():
+    spec = _tiny_problem(seed=3)
+    xp0 = random_ensemble_inits(spec, 4, seed=6, init_to_data=True)
+    X = xp0[:, :spec.n_state].reshape(4, spec.N_f, spec.D)
+    obs = np.arange(spec.N_data) * spec.obs_stride
+    for b in range(4):
+        np.testing.assert_array_equal(
+            X[b][obs[:, None], np.asarray(spec.Lidx)[None, :]],
+            np.asarray(spec.Y))

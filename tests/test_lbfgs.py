@@ -95,12 +95,13 @@ def test_vmap_batch_of_problems():
     o = LBFGSOptions(maxiter=400, pgtol=1e-9, ftol=1e-18)
     solve = jax.vmap(lambda x0: lbfgs_minimize(vag, x0, opts=o))
     res = solve(jnp.asarray(X0))
-    # every lane must match its solo run bit-for-bit in outcome: converged
-    # lanes are masked no-ops while slow lanes continue
+    # every lane must match its solo run to machine precision: converged
+    # lanes are masked no-ops while slow lanes continue (reduction order
+    # differs by at most an ulp between batched and solo execution)
     for i in (0, 3, 5):
         ref = lbfgs_minimize(vag, jnp.asarray(X0[i]), opts=o)
         np.testing.assert_allclose(np.asarray(res.x)[i], np.asarray(ref.x),
-                                   rtol=0, atol=0)
+                                   rtol=1e-12, atol=1e-14)
         assert int(np.asarray(res.niter)[i]) == int(ref.niter)
     # all lanes drive the gradient to f64 round-off for this f's scale
     assert np.all(np.asarray(res.pgnorm) <= 1e-7)

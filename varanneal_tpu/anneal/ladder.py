@@ -30,7 +30,8 @@ from varanneal_tpu.opt.lbfgs import lbfgs_minimize, LBFGSOptions
 
 
 class LadderResult(NamedTuple):
-    XP: jnp.ndarray         # final (lowest-β-last) minimizer, (n_dof,)
+    XP: object              # final minimizer — flat (n_dof,) or pytree,
+    #                         matching XP0's structure
     A: jnp.ndarray          # (Nbeta,) action at each β's minimizer
     ME: jnp.ndarray         # (Nbeta,)
     FE: jnp.ndarray         # (Nbeta,)
@@ -38,7 +39,7 @@ class LadderResult(NamedTuple):
     niter: jnp.ndarray      # (Nbeta,)
     nfev: jnp.ndarray       # (Nbeta,) action+grad evaluations
     pgnorm: jnp.ndarray     # (Nbeta,)
-    paths: Optional[jnp.ndarray]    # (Nbeta, n_dof) minimizers, if stored
+    paths: Optional[object]  # (Nbeta, ...) stacked minimizers, if stored
 
 
 def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
@@ -53,8 +54,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     memory note).
     """
     opts = opts or LBFGSOptions()
-    XP0 = jnp.asarray(XP0)
-    dtype = XP0.dtype
+    XP0 = jax.tree_util.tree_map(jnp.asarray, XP0)
+    dtype = jax.tree_util.tree_leaves(XP0)[0].dtype
     betas = jnp.asarray(betas, dtype)
     rf0 = jnp.asarray(rf0, dtype)
     alpha = jnp.asarray(alpha, dtype)

@@ -44,18 +44,27 @@ def pack(spec: ProblemSpec, X, P=None):
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
-def unpack(spec: ProblemSpec, XP):
-    """Split XP into X (N_f, D) and the full parameter array (estimated
-    entries merged into the fixed base values)."""
-    X = jnp.reshape(XP[: spec.n_state], (spec.N_f, spec.D))
-    P = jnp.asarray(spec.P_base, dtype=XP.dtype)
+def merge_params(spec: ProblemSpec, pest, dtype):
+    """Merge estimated parameter values into the fixed base values.
+
+    ``pest``: (NPest,) or (N_f, NPest) (time-dependent). Returns the full
+    (NP,) or (N_f, NP) parameter array."""
+    P = jnp.asarray(spec.P_base, dtype=dtype)
     if spec.NPest:
-        pest = XP[spec.n_state:]
         pcols = np.asarray(spec.pidx, dtype=np.int32)
         if spec.time_dep_p:
-            P = P.at[:, pcols].set(jnp.reshape(pest, (spec.N_f, spec.NPest)))
+            P = P.at[:, pcols].set(jnp.reshape(pest,
+                                               (spec.N_f, spec.NPest)))
         else:
-            P = P.at[pcols].set(pest)
+            P = P.at[pcols].set(jnp.reshape(pest, (spec.NPest,)))
+    return P
+
+
+def unpack(spec: ProblemSpec, XP):
+    """Split flat XP into X (N_f, D) and the full parameter array (estimated
+    entries merged into the fixed base values)."""
+    X = jnp.reshape(XP[: spec.n_state], (spec.N_f, spec.D))
+    P = merge_params(spec, XP[spec.n_state:], XP.dtype)
     return X, P
 
 
@@ -74,8 +83,11 @@ def _quad(R, d):
 
 
 def measurement_error(spec: ProblemSpec, X):
-    """ME = (1/(L*N_data)) * quad(RM, x_obs - Y)."""
-    x_obs = X[:: spec.obs_stride][:, np.asarray(spec.Lidx, dtype=np.int32)]
+    """ME = (1/(L*N_data)) * quad(RM, x_obs - Y). The [:N_data] slice is a
+    no-op on exact grids and drops trailing rows on sharding-padded grids
+    (see spec.pad_spec_time)."""
+    x_obs = X[:: spec.obs_stride][: spec.N_data,
+                                  np.asarray(spec.Lidx, dtype=np.int32)]
     diff = x_obs - jnp.asarray(spec.Y, dtype=X.dtype)
     return _quad(spec.RM, diff) / (spec.L * spec.N_data)
 
@@ -90,14 +102,19 @@ def model_error(spec: ProblemSpec, X, P, rf):
             ferr = rf * (jnp.sum(simpson * simpson)
                          + jnp.sum(hermite * hermite))
         else:
-            ferr = _quad(rf[::2], simpson) + _quad(rf[1::2], hermite)
+            # pair rf rows explicitly with the residual count: on
+            # sharding-padded (even-N_f) grids rf has one dangling
+            # zero-weight row beyond the last interval
+            M = (spec.N_f - 1) // 2
+            ferr = (_quad(rf[: 2 * M: 2], simpson)
+                    + _quad(rf[1: 2 * M: 2], hermite))
     else:
         ferr = _quad(rf, res)
     return ferr / (spec.D * (spec.N_f - 1))
 
 
 def make_action(spec: ProblemSpec):
-    """Build the pure action functions for a problem.
+    """Build the pure action functions on the FLAT decision vector.
 
     Returns ``(action, action_parts)`` with signatures
     ``action(XP, rf) -> A`` and ``action_parts(XP, rf) -> (A, ME, FE)``.
@@ -112,3 +129,47 @@ def make_action(spec: ProblemSpec):
         return action_parts(XP, rf)[0]
 
     return action, action_parts
+
+
+def make_action_tree(spec: ProblemSpec):
+    """Build the action on the STRUCTURED decision pytree
+    ``{"X": (N_f, D), "pest": (NPest,) | (N_f, NPest)}``.
+
+    This is the sharding-friendly frontend: keeping X two-dimensional lets a
+    mesh 'time' axis shard N_f directly, with GSPMD inserting the 1–2-step
+    halo collectives the stencil needs (SURVEY.md §5 sequence-parallel
+    analog) — no flat-vector resharding.
+    """
+    def action_parts(tree, rf):
+        X = tree["X"]
+        P = merge_params(spec, tree["pest"], X.dtype)
+        me = measurement_error(spec, X)
+        fe = model_error(spec, X, P, rf)
+        return me + fe, me, fe
+
+    def action(tree, rf):
+        return action_parts(tree, rf)[0]
+
+    return action, action_parts
+
+
+def tree_of_flat(spec: ProblemSpec, XP):
+    """Flat decision vector -> structured tree."""
+    XP = jnp.asarray(XP)
+    pest = XP[..., spec.n_state:]
+    if spec.time_dep_p and spec.NPest:
+        pest = pest.reshape(XP.shape[:-1] + (spec.N_f, spec.NPest))
+    return {
+        "X": XP[..., : spec.n_state].reshape(
+            XP.shape[:-1] + (spec.N_f, spec.D)),
+        "pest": pest,
+    }
+
+
+def flat_of_tree(spec: ProblemSpec, tree):
+    """Structured tree -> flat decision vector."""
+    X = tree["X"]
+    lead = X.shape[:-2]
+    return jnp.concatenate(
+        [X.reshape(lead + (spec.n_state,)),
+         jnp.reshape(tree["pest"], lead + (-1,))], axis=-1)

@@ -215,6 +215,83 @@ def build_spec(
         pidx=pidx, RM=RM)
 
 
+def pad_spec_time(spec: ProblemSpec, multiple: int):
+    """Pad the model grid to a multiple of ``multiple`` rows for even time
+    sharding, preserving the action EXACTLY.
+
+    Mechanism: appended grid rows get zero FE weight, and the real rows'
+    weights are pre-scaled by (N_pad-1)/(N_f-1) to cancel the changed FE
+    normalization — so A(padded X; scaled rf) == A(original X; rf) bit-for-
+    bit in exact arithmetic. Padded states have zero gradient and never
+    move. ME is untouched (observation slicing stops at N_data).
+
+    Returns ``(padded_spec, rf_row_scale)`` where ``rf_row_scale`` has shape
+    (N_pad-1, 1); multiply it into the canonical (N-1, D)[, D] RF0 via
+    :func:`pad_rf0`.
+    """
+    N_f = spec.N_f
+    N_pad = ((N_f + multiple - 1) // multiple) * multiple
+    if N_pad == N_f:
+        return spec, np.ones((N_f - 1, 1))
+    extra = N_pad - N_f
+    grid_dt = float(spec.t_f[1] - spec.t_f[0])
+    t_pad = np.concatenate(
+        [np.asarray(spec.t_f),
+         spec.t_f[-1] + grid_dt * np.arange(1, extra + 1)])
+
+    def pad_rows(A):
+        if A is None:
+            return None
+        A = np.asarray(A)
+        return np.concatenate([A, np.repeat(A[-1:], extra, axis=0)], axis=0)
+
+    P_base = spec.P_base
+    if np.ndim(P_base) == 2:
+        P_base = pad_rows(P_base)
+    padded = dataclasses.replace(
+        spec, N_f=N_pad, t_f=t_pad, stim_f=pad_rows(spec.stim_f),
+        P_base=P_base)
+    scale = np.zeros((N_pad - 1, 1))
+    scale[: N_f - 1] = (N_pad - 1) / (N_f - 1)
+    return padded, scale
+
+
+def pad_rf0(spec_orig: ProblemSpec, spec_pad: ProblemSpec, rf0,
+            rf_row_scale):
+    """Lift a canonical RF0 for the original spec onto the padded grid."""
+    rf0 = np.asarray(rf0, dtype=np.float64)
+    N_pad = spec_pad.N_f
+    D = spec_pad.D
+    if rf0.ndim == 0:
+        out = np.broadcast_to(rf0, (spec_orig.N_f - 1, D)).copy()
+    else:
+        out = rf0.copy()
+    pad_shape = (N_pad - 1,) + out.shape[1:]
+    padded = np.zeros(pad_shape)
+    padded[: out.shape[0]] = out
+    scale = rf_row_scale.reshape((-1,) + (1,) * (padded.ndim - 1))
+    return padded * scale
+
+
+def pad_decision_tree(spec_orig: ProblemSpec, spec_pad: ProblemSpec, tree):
+    """Pad a structured decision tree's time axes (repeat last row) to match
+    the padded spec. Works with or without a leading batch axis."""
+    import jax.numpy as jnp
+    extra = spec_pad.N_f - spec_orig.N_f
+    if extra == 0:
+        return tree
+    X = jnp.asarray(tree["X"])
+    last = X[..., -1:, :]
+    Xp = jnp.concatenate(
+        [X, jnp.repeat(last, extra, axis=-2)], axis=-2)
+    pest = jnp.asarray(tree["pest"])
+    if spec_orig.time_dep_p and spec_orig.NPest:
+        pl = pest[..., -1:, :]
+        pest = jnp.concatenate(
+            [pest, jnp.repeat(pl, extra, axis=-2)], axis=-2)
+    return {"X": Xp, "pest": pest}
+
+
 def _interp_grid(A: np.ndarray, N_out: int) -> np.ndarray:
     """Linear-interpolate rows of A (N_in, K) onto a uniform N_out grid
     spanning the same interval."""

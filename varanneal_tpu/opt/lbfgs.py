@@ -1,4 +1,4 @@
-"""Bounded L-BFGS, device-side, as one ``lax.while_loop``.
+"""Bounded L-BFGS, device-side, pytree-native, as one ``lax.while_loop``.
 
 This replaces the reference's inner minimizer — SciPy's Fortran L-BFGS-B
 (``varanneal/_autodiffmin.py :: ADmin.min_lbfgs_scipy`` [M, SURVEY.md §2]) —
@@ -8,8 +8,14 @@ single XLA program and vmaps across ensemble members (SURVEY.md §7
 
 Design:
 
+- the decision variable is an arbitrary PYTREE of arrays (a flat vector is
+  the 1-leaf special case). This is what lets the time axis of a single
+  problem stay a (N_f, D) array sharded over a mesh axis — GSPMD then
+  partitions the optimizer state (history pytrees) the same way and inserts
+  halo collectives for the stencil in the objective, the sequence-parallel
+  analog of SURVEY.md §5;
 - two-loop recursion over a static-size circular history (m slots, dynamic
-  row gathers, no rolling copies);
+  row gathers per leaf, no rolling copies);
 - strong-Wolfe line search (bracket + zoom with safeguarded cubic
   interpolation) run as a one-eval-per-iteration state machine inside a
   nested ``lax.while_loop`` — exactly one value_and_grad per line-search
@@ -18,7 +24,7 @@ Design:
   frozen out of the direction, the step is capped at the first bound crossing
   and the iterate clipped — L-BFGS-B *semantics* (projected-gradient
   termination, feasible iterates), not its subspace minimization. Parity with
-  SciPy is defined at converged minima (SURVEY.md §7), and tested.
+  SciPy is defined at converged minima (SURVEY.md §7), and tested;
 - termination mirrors SciPy L-BFGS-B: ``pgtol`` on the max-norm of the
   projected gradient, ``ftol`` on the relative action decrease, ``maxiter``.
 
@@ -32,7 +38,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import lax, tree_util as jtu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,9 +54,9 @@ class LBFGSOptions:
 
 
 class LBFGSResult(NamedTuple):
-    x: jnp.ndarray
+    x: object               # pytree, same structure as x0
     f: jnp.ndarray
-    g: jnp.ndarray
+    g: object               # pytree
     niter: jnp.ndarray
     nfev: jnp.ndarray
     status: jnp.ndarray     # 0 pgtol-converged, 1 ftol-converged,
@@ -62,17 +68,55 @@ class LBFGSResult(NamedTuple):
 CONV_GRAD, CONV_FTOL, MAXITER, LS_FAIL = 0, 1, 2, 3
 
 
-def _dot(a, b):
-    return jnp.sum(a * b)
+# ---------------------------------------------------------------------------
+# pytree vector-space helpers
+# ---------------------------------------------------------------------------
+
+def _tmap(f, *trees):
+    return jtu.tree_map(f, *trees)
+
+
+def _treduce(op, tree, init):
+    return jtu.tree_reduce(op, tree, init)
+
+
+def _tdot(a, b):
+    parts = _tmap(lambda u, v: jnp.sum(u * v), a, b)
+    return _treduce(lambda s, l: s + l, parts, 0.0)
+
+
+def _tmax_abs(tree):
+    parts = _tmap(lambda u: jnp.max(jnp.abs(u)), tree)
+    return _treduce(jnp.maximum, parts, jnp.zeros(()))
+
+
+def _tmin(tree):
+    parts = _tmap(jnp.min, tree)
+    return _treduce(jnp.minimum, parts, jnp.asarray(jnp.inf))
+
+
+def _axpy(a, x, y):
+    """y + a * x elementwise over the tree (a scalar)."""
+    return _tmap(lambda u, v: v + a * u, x, y)
+
+
+def _scale(a, x):
+    return _tmap(lambda u: a * u, x)
+
+
+def _where_s(c, a, b):
+    """Select whole trees by a scalar bool (broadcast into every leaf)."""
+    return _tmap(lambda u, v: jnp.where(c, u, v), a, b)
 
 
 def _project(x, lower, upper):
-    return jnp.clip(x, lower, upper)
+    return _tmap(jnp.clip, x, lower, upper)
 
 
 def _proj_grad(x, g, lower, upper):
     """SciPy's projected gradient: x - P(x - g)."""
-    return x - _project(x - g, lower, upper)
+    return _tmap(lambda xi, gi, lo, hi: xi - jnp.clip(xi - gi, lo, hi),
+                 x, g, lower, upper)
 
 
 def _cubic_min(a, fa, dfa, b, fb, dfb):
@@ -104,17 +148,17 @@ class _LSState(NamedTuple):
     d_hi: jnp.ndarray
     a_star: jnp.ndarray
     f_star: jnp.ndarray
-    g_star: jnp.ndarray     # gradient at accepted point (full vector)
+    g_star: object          # gradient pytree at accepted point
 
 
 def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
-    """Strong-Wolfe line search along d from x.
+    """Strong-Wolfe line search along tree-direction d from tree-point x.
 
     ``vag(x) -> (f, g)``. Returns (a_star, f_star, g_star, nfev, ok).
     One vag evaluation per while iteration.
     """
-    dtype = x.dtype
-    dphi0 = _dot(g0, d)
+    dtype = f0.dtype
+    dphi0 = _tdot(g0, d).astype(dtype)
     c1, c2 = jnp.asarray(opts.c1, dtype), jnp.asarray(opts.c2, dtype)
     zero = jnp.zeros((), dtype)
 
@@ -131,8 +175,8 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
         return ~(s.done | s.failed) & (s.i < opts.maxls)
 
     def body(s):
-        f_a, g_a = vag(x + s.a * d)
-        dphi_a = _dot(g_a, d)
+        f_a, g_a = vag(_axpy(s.a, d, x))
+        dphi_a = _tdot(g_a, d).astype(dtype)
         i = s.i + 1
         armijo_fail = (f_a > f0 + c1 * s.a * dphi0)
         nan_bad = ~jnp.isfinite(f_a)
@@ -143,7 +187,6 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
             hi_cond = armijo_fail | ((i > 1) & (f_a >= s.f_prev)) | nan_bad
             accept = ~hi_cond & curv_ok
             to_zoom_rev = ~hi_cond & ~curv_ok & (dphi_a >= 0)
-            # enter zoom with (lo, hi)
             enter_zoom = hi_cond | to_zoom_rev
             a_lo = jnp.where(hi_cond, s.a_prev, s.a)
             f_lo = jnp.where(hi_cond, s.f_prev, f_a)
@@ -151,14 +194,12 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
             a_hi = jnp.where(hi_cond, s.a, s.a_prev)
             f_hi = jnp.where(hi_cond, f_a, s.f_prev)
             d_hi = jnp.where(hi_cond, dphi_a, s.d_prev)
-            # next trial
             a_zoom = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
             width = jnp.abs(a_hi - a_lo)
             a_zoom = jnp.clip(a_zoom,
                               jnp.minimum(a_lo, a_hi) + 0.1 * width,
                               jnp.maximum(a_lo, a_hi) - 0.1 * width)
             a_expand = jnp.minimum(2.0 * s.a, a_max)
-            # expanding past a_max with no accept: fail if already at a_max
             stuck = (~enter_zoom & ~accept) & (s.a >= a_max)
             return s._replace(
                 stage=jnp.where(enter_zoom, 1, 0).astype(jnp.int32),
@@ -171,7 +212,7 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
                 a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
                 a_star=jnp.where(accept, s.a, s.a_star),
                 f_star=jnp.where(accept, f_a, s.f_star),
-                g_star=jnp.where(accept, g_a, s.g_star))
+                g_star=_where_s(accept, g_a, s.g_star))
 
         def zoom_step(s):
             hi_cond = armijo_fail | (f_a >= s.f_lo) | nan_bad
@@ -196,7 +237,7 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
                 a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
                 a_star=jnp.where(accept, s.a, s.a_star),
                 f_star=jnp.where(accept, f_a, s.f_star),
-                g_star=jnp.where(accept, g_a, s.g_star))
+                g_star=_where_s(accept, g_a, s.g_star))
 
         return lax.cond(s.stage == 0, bracket_step, zoom_step, s)
 
@@ -208,7 +249,7 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
     ok = s.done | have_lo
 
     def eval_lo():
-        f_lo, g_lo = vag(x + s.a_lo * d)
+        f_lo, g_lo = vag(_axpy(s.a_lo, d, x))
         return s.a_lo, f_lo, g_lo
 
     a_star, f_star, g_star = lax.cond(
@@ -221,11 +262,11 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
 
 
 class _State(NamedTuple):
-    x: jnp.ndarray
+    x: object             # pytree
     f: jnp.ndarray
-    g: jnp.ndarray
-    S: jnp.ndarray        # (m, n) step history
-    Yh: jnp.ndarray       # (m, n) grad-diff history
+    g: object             # pytree
+    S: object             # pytree of (m, *leaf) step history
+    Yh: object            # pytree of (m, *leaf) grad-diff history
     rho: jnp.ndarray      # (m,) 1/(y.s)
     head: jnp.ndarray     # next write slot
     hlen: jnp.ndarray     # valid history length
@@ -235,7 +276,15 @@ class _State(NamedTuple):
     done: jnp.ndarray
 
 
-def _two_loop(g, S, Yh, rho, head, hlen, m):
+def _hist_row(H, i):
+    return _tmap(lambda h: jnp.take(h, i, axis=0), H)
+
+
+def _hist_set(H, i, v, keep):
+    return _tmap(lambda h, u: jnp.where(keep, h.at[i].set(u), h), H, v)
+
+
+def _two_loop(g, S, Yh, rho, head, hlen, m, dtype):
     """Two-loop recursion, newest-to-oldest via dynamic row gathers."""
     q = g
     alphas = []
@@ -243,29 +292,28 @@ def _two_loop(g, S, Yh, rho, head, hlen, m):
     for j in range(m):
         i = (head - 1 - j) % m
         idxs.append(i)
-        valid = (j < hlen).astype(g.dtype)
-        s_i = jnp.take(S, i, axis=0)
-        y_i = jnp.take(Yh, i, axis=0)
+        valid = (j < hlen).astype(dtype)
+        s_i = _hist_row(S, i)
+        y_i = _hist_row(Yh, i)
         r_i = jnp.take(rho, i)
-        a = valid * r_i * _dot(s_i, q)
-        q = q - a * y_i
+        a = valid * r_i * _tdot(s_i, q)
+        q = _axpy(-a, y_i, q)
         alphas.append(a)
-    # gamma from newest pair
     i0 = (head - 1) % m
-    y0 = jnp.take(Yh, i0, axis=0)
-    s0 = jnp.take(S, i0, axis=0)
-    yy = _dot(y0, y0)
-    gamma = jnp.where(hlen > 0, _dot(s0, y0) / jnp.maximum(yy, 1e-300), 1.0)
-    r = gamma * q
+    y0 = _hist_row(Yh, i0)
+    s0 = _hist_row(S, i0)
+    yy = _tdot(y0, y0)
+    gamma = jnp.where(hlen > 0, _tdot(s0, y0) / jnp.maximum(yy, 1e-300), 1.0)
+    r = _scale(gamma, q)
     for j in reversed(range(m)):
         i = idxs[j]
-        valid = (j < hlen).astype(g.dtype)
-        s_i = jnp.take(S, i, axis=0)
-        y_i = jnp.take(Yh, i, axis=0)
+        s_i = _hist_row(S, i)
+        y_i = _hist_row(Yh, i)
         r_i = jnp.take(rho, i)
-        b = valid * r_i * _dot(y_i, r)
-        r = r + s_i * (alphas[j] - b)
-    return -r
+        valid = (j < hlen).astype(dtype)
+        b = valid * r_i * _tdot(y_i, r)
+        r = _axpy(alphas[j] - b, s_i, r)
+    return _scale(-1.0, r)
 
 
 def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
@@ -273,36 +321,40 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     """Minimize ``f`` given ``value_and_grad(x) -> (f, g)`` from ``x0``,
     optionally subject to box bounds ``lower <= x <= upper``.
 
-    Pure JAX: jit/vmap/scan-safe. See module docstring for semantics.
+    ``x0`` may be any pytree of arrays; ``lower``/``upper`` a matching
+    pytree (leaves broadcastable to x0's leaves) or None. Pure JAX:
+    jit/vmap/scan/shard-safe. See module docstring for semantics.
     """
     opts = opts or LBFGSOptions()
-    x0 = jnp.asarray(x0)
-    dtype = x0.dtype
-    n = x0.shape[0]
+    x0 = _tmap(jnp.asarray, x0)
+    leaves = jtu.tree_leaves(x0)
+    dtype = leaves[0].dtype
     m = opts.m
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    lower = (-big * jnp.ones(n, dtype) if lower is None
-             else jnp.broadcast_to(jnp.asarray(lower, dtype), (n,)))
-    upper = (big * jnp.ones(n, dtype) if upper is None
-             else jnp.broadcast_to(jnp.asarray(upper, dtype), (n,)))
+    lower = (_tmap(lambda l: jnp.full(l.shape, -big, dtype), x0)
+             if lower is None
+             else _tmap(lambda lo, l: jnp.broadcast_to(
+                 jnp.asarray(lo, dtype), l.shape), lower, x0))
+    upper = (_tmap(lambda l: jnp.full(l.shape, big, dtype), x0)
+             if upper is None
+             else _tmap(lambda hi, l: jnp.broadcast_to(
+                 jnp.asarray(hi, dtype), l.shape), upper, x0))
 
     x0 = _project(x0, lower, upper)
     f0, g0 = value_and_grad(x0)
 
+    def hist0(t):
+        return _tmap(lambda l: jnp.zeros((m,) + l.shape, dtype), t)
+
+    pg0 = _tmax_abs(_proj_grad(x0, g0, lower, upper))
     init = _State(
-        x=x0, f=f0, g=g0,
-        S=jnp.zeros((m, n), dtype), Yh=jnp.zeros((m, n), dtype),
+        x=x0, f=f0, g=g0, S=hist0(x0), Yh=hist0(x0),
         rho=jnp.zeros((m,), dtype),
         head=jnp.zeros((), jnp.int32), hlen=jnp.zeros((), jnp.int32),
         niter=jnp.zeros((), jnp.int32), nfev=jnp.ones((), jnp.int32),
-        status=jnp.full((), MAXITER, jnp.int32),
-        done=jnp.zeros((), bool))
-
-    pg0 = jnp.max(jnp.abs(_proj_grad(x0, g0, lower, upper)))
-    init = init._replace(
-        done=pg0 <= opts.pgtol,
         status=jnp.where(pg0 <= opts.pgtol, CONV_GRAD, MAXITER).astype(
-            jnp.int32))
+            jnp.int32),
+        done=pg0 <= opts.pgtol)
 
     def cond(s):
         return ~s.done & (s.niter < opts.maxiter)
@@ -310,26 +362,30 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     def body(s):
         # ---- direction with bound-active components frozen -------------
         eps_b = jnp.asarray(1e-12, dtype)
-        at_lo = (s.x <= lower + eps_b) & (s.g > 0)
-        at_hi = (s.x >= upper - eps_b) & (s.g < 0)
-        active = at_lo | at_hi
-        g_free = jnp.where(active, 0.0, s.g)
-        d = _two_loop(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m)
-        d = jnp.where(active, 0.0, d)
-        descent = _dot(s.g, d)
-        # reset to steepest descent if not a descent direction
+        active = _tmap(
+            lambda xi, gi, lo, hi: ((xi <= lo + eps_b) & (gi > 0))
+            | ((xi >= hi - eps_b) & (gi < 0)),
+            s.x, s.g, lower, upper)
+        g_free = _tmap(lambda a, gi: jnp.where(a, 0.0, gi), active, s.g)
+        d = _two_loop(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m, dtype)
+        d = _tmap(lambda a, di: jnp.where(a, 0.0, di), active, d)
+        descent = _tdot(s.g, d)
         bad_dir = (descent >= 0) | ~jnp.isfinite(descent)
-        d = jnp.where(bad_dir, -g_free, d)
+        d = _where_s(bad_dir, _scale(-1.0, g_free), d)
 
         # ---- max feasible step ------------------------------------------
-        step_to_hi = jnp.where(d > 0, (upper - s.x) / d, big)
-        step_to_lo = jnp.where(d < 0, (lower - s.x) / d, big)
-        a_max = jnp.minimum(jnp.min(jnp.minimum(step_to_hi, step_to_lo)),
-                            big)
-        a_max = jnp.maximum(a_max, jnp.asarray(1e-16, dtype))
+        steps = _tmap(
+            lambda xi, di, lo, hi: jnp.where(
+                di > 0, (hi - xi) / jnp.where(di > 0, di, 1.0),
+                jnp.where(di < 0, (lo - xi) / jnp.where(di < 0, di, 1.0),
+                          big)),
+            s.x, d, lower, upper)
+        a_max = jnp.maximum(jnp.minimum(_tmin(steps), big),
+                            jnp.asarray(1e-16, dtype))
 
         # ---- line search -------------------------------------------------
-        gnorm1 = jnp.sum(jnp.abs(s.g))
+        gnorm1 = _treduce(lambda acc, l: acc + jnp.sum(jnp.abs(l)),
+                          s.g, jnp.zeros((), dtype))
         a_init = jnp.where(
             s.hlen == 0,
             jnp.minimum(jnp.asarray(1.0, dtype),
@@ -337,16 +393,17 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             jnp.asarray(1.0, dtype))
         a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
             value_and_grad, s.x, d, s.f, s.g, a_init, a_max, opts)
-        x_new = _project(s.x + a * d, lower, upper)
+        x_new = _project(_axpy(a, d, s.x), lower, upper)
 
         # ---- history update (skip on tiny curvature) ---------------------
-        sv = x_new - s.x
-        yv = g_new - s.g
-        sy = _dot(sv, yv)
-        good = ls_ok & (sy > 1e-10 * jnp.linalg.norm(sv)
-                        * jnp.linalg.norm(yv)) & (sy > 0)
-        S = jnp.where(good, s.S.at[s.head].set(sv), s.S)
-        Yh = jnp.where(good, s.Yh.at[s.head].set(yv), s.Yh)
+        sv = _tmap(lambda a_, b_: a_ - b_, x_new, s.x)
+        yv = _tmap(lambda a_, b_: a_ - b_, g_new, s.g)
+        sy = _tdot(sv, yv)
+        s_nrm = jnp.sqrt(_tdot(sv, sv))
+        y_nrm = jnp.sqrt(_tdot(yv, yv))
+        good = ls_ok & (sy > 1e-10 * s_nrm * y_nrm) & (sy > 0)
+        S = _hist_set(s.S, s.head, sv, good)
+        Yh = _hist_set(s.Yh, s.head, yv, good)
         rho = jnp.where(good,
                         s.rho.at[s.head].set(1.0 / jnp.maximum(sy, 1e-300)),
                         s.rho)
@@ -354,7 +411,7 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
         hlen = jnp.where(good, jnp.minimum(s.hlen + 1, m), s.hlen)
 
         # ---- termination --------------------------------------------------
-        pgn = jnp.max(jnp.abs(_proj_grad(x_new, g_new, lower, upper)))
+        pgn = _tmax_abs(_proj_grad(x_new, g_new, lower, upper))
         df = s.f - f_new
         fden = jnp.maximum(jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0)
         conv_g = pgn <= opts.pgtol
@@ -368,15 +425,15 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             jnp.int32)
 
         # keep old point on line-search failure
-        x_out = jnp.where(fail, s.x, x_new)
+        x_out = _where_s(fail, s.x, x_new)
         f_out = jnp.where(fail, s.f, f_new)
-        g_out = jnp.where(fail, s.g, g_new)
+        g_out = _where_s(fail, s.g, g_new)
         return _State(
             x=x_out, f=f_out, g=g_out, S=S, Yh=Yh, rho=rho, head=head,
             hlen=hlen, niter=s.niter + 1, nfev=s.nfev + ls_nfev,
             status=status, done=done)
 
     s = lax.while_loop(cond, body, init)
-    pgn = jnp.max(jnp.abs(_proj_grad(s.x, s.g, lower, upper)))
+    pgn = _tmax_abs(_proj_grad(s.x, s.g, lower, upper))
     return LBFGSResult(x=s.x, f=s.f, g=s.g, niter=s.niter, nfev=s.nfev,
                        status=s.status, pgnorm=pgn)

@@ -3,6 +3,10 @@
 from varanneal_tpu.parallel.ensemble import (
     make_ensemble_ladder, ensemble_mesh, shard_batch, random_ensemble_inits,
 )
+from varanneal_tpu.parallel.timeshard import (
+    time_mesh, make_timesharded_ladder, TimeShardedProblem,
+)
 
 __all__ = ["make_ensemble_ladder", "ensemble_mesh", "shard_batch",
-           "random_ensemble_inits"]
+           "random_ensemble_inits", "time_mesh", "make_timesharded_ladder",
+           "TimeShardedProblem"]
