@@ -176,5 +176,6 @@ def test_annealer_facade_simpson_hermite_nakl_bounds():
     assert Xs[..., 1:].min() >= -1e-12 and Xs[..., 1:].max() <= 1 + 1e-12
     gna = ann.minpaths_P[:, 0]
     assert np.all((gna >= 50) & (gna <= 200))
-    # ME decreases as the data constraint tightens over the ladder overall
-    assert ann.me_array[-1] <= ann.me_array[0] * 10
+    # ME grows from its (near-zero) soft-constraint value as FE hardens,
+    # but must stay at data-fit scale
+    assert ann.me_array[-1] < 1e-4

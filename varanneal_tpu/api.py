@@ -38,12 +38,20 @@ def _default_dtype():
     return np.float64 if jax.config.jax_enable_x64 else np.float32
 
 
-def make_lbfgs_options(opt_args: Optional[dict]) -> LBFGSOptions:
+def make_lbfgs_options(opt_args: Optional[dict],
+                       dtype=np.float64) -> LBFGSOptions:
     """Map a reference-style ``opt_args`` dict (SciPy minimize options) onto
     LBFGSOptions. Accepts maxiter, maxcor/m, maxls, gtol/pgtol, ftol, factr.
+
+    When running in float32, the f64-calibrated default tolerances are
+    unresolvable (the solver would stop on round-off immediately), so
+    unspecified ftol/pgtol get f32 floors (1e-6 / 1e-4).
     """
     opt_args = dict(opt_args or {})
     kw = {}
+    if np.dtype(dtype) == np.float32:
+        kw["ftol"] = 1e-6
+        kw["pgtol"] = 1e-4
     if "maxiter" in opt_args:
         kw["maxiter"] = int(opt_args.pop("maxiter"))
     if "maxcor" in opt_args:
@@ -204,7 +212,7 @@ class Annealer:
 
         rf0 = canonical_R(RF0, spec.N_f - 1, spec.D, "RF0").astype(dtype)
         lower, upper = build_bounds(spec, bounds, dtype)
-        opts = make_lbfgs_options(opt_args)
+        opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)
 
         act, parts = make_action(spec)

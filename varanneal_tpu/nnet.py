@@ -218,7 +218,7 @@ class Annealer:
         if rf0.ndim not in (0, 1) or (rf0.ndim == 1
                                       and rf0.shape != (L - 1,)):
             raise ValueError("RF0 must be scalar or per-layer (L-1,)")
-        opts = make_lbfgs_options(opt_args)
+        opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)
 
         lower = upper = None

@@ -183,10 +183,14 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
         curv_ok = jnp.abs(dphi_a) <= -c2 * dphi0
 
         def bracket_step(s):
-            # Nocedal-Wright alg. 3.5 bracketing after one eval at s.a
+            # Nocedal-Wright alg. 3.5 bracketing after one eval at s.a.
+            # At the feasible-step cap a_max the curvature condition may be
+            # unattainable — accept on Armijo alone there (L-BFGS-B's
+            # dcsrch stpmax semantics), else bound-capped steps deadlock.
+            at_cap = s.a >= a_max
             hi_cond = armijo_fail | ((i > 1) & (f_a >= s.f_prev)) | nan_bad
-            accept = ~hi_cond & curv_ok
-            to_zoom_rev = ~hi_cond & ~curv_ok & (dphi_a >= 0)
+            accept = ~hi_cond & (curv_ok | at_cap)
+            to_zoom_rev = ~hi_cond & ~curv_ok & ~at_cap & (dphi_a >= 0)
             enter_zoom = hi_cond | to_zoom_rev
             a_lo = jnp.where(hi_cond, s.a_prev, s.a)
             f_lo = jnp.where(hi_cond, s.f_prev, f_a)
@@ -200,11 +204,10 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
                               jnp.minimum(a_lo, a_hi) + 0.1 * width,
                               jnp.maximum(a_lo, a_hi) - 0.1 * width)
             a_expand = jnp.minimum(2.0 * s.a, a_max)
-            stuck = (~enter_zoom & ~accept) & (s.a >= a_max)
             return s._replace(
                 stage=jnp.where(enter_zoom, 1, 0).astype(jnp.int32),
                 done=accept,
-                failed=stuck | (nan_bad & (i >= opts.maxls)),
+                failed=nan_bad & (i >= opts.maxls),
                 i=i,
                 a=jnp.where(enter_zoom, a_zoom, a_expand),
                 a_prev=s.a, f_prev=f_a, d_prev=dphi_a,
@@ -259,6 +262,64 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
             have_lo, eval_lo, lambda: (jnp.zeros_like(s.a_star), f0, g0)))
     nfev = s.i + jnp.where(s.done | ~have_lo, 0, 1)
     return a_star, f_star, g_star, nfev, ok
+
+
+class _PBState(NamedTuple):
+    done: jnp.ndarray
+    i: jnp.ndarray
+    a: jnp.ndarray
+    x_a: object
+    f_a: jnp.ndarray
+    g_a: object
+
+
+def _projected_backtracking_ls(vag, x, d, f0, g0, a_init, lower, upper,
+                               opts: LBFGSOptions):
+    """Armijo backtracking along the PROJECTED path P(x + a d) (Bertsekas /
+    projected-quasi-Newton): sufficient decrease measured against
+    g0.(P(x+a d) - x). Handles bound crossings without capping the step —
+    this is what lets bound-active NaKL-style problems keep making progress
+    where a capped Wolfe search deadlocks.
+
+    Returns (x_new, f_new, g_new, nfev, ok).
+    """
+    dtype = f0.dtype
+    c1 = jnp.asarray(opts.c1, dtype)
+
+    def trial(a):
+        return _project(_axpy(a, d, x), lower, upper)
+
+    x0t = trial(jnp.asarray(a_init, dtype))
+    f0t, g0t = vag(x0t)
+    init = _PBState(done=jnp.zeros((), bool), i=jnp.ones((), jnp.int32),
+                    a=jnp.asarray(a_init, dtype), x_a=x0t, f_a=f0t,
+                    g_a=g0t)
+
+    def cond(s):
+        return ~s.done & (s.i < opts.maxls)
+
+    def body(s):
+        gdx = _tdot(g0, _tmap(lambda u, v: u - v, s.x_a, x))
+        ok = (s.f_a <= f0 + c1 * gdx) & jnp.isfinite(s.f_a) & (s.f_a < f0)
+        a_next = 0.5 * s.a
+
+        def shrink():
+            x_n = trial(a_next)
+            f_n, g_n = vag(x_n)
+            return s._replace(i=s.i + 1, a=a_next, x_a=x_n, f_a=f_n,
+                              g_a=g_n)
+
+        return lax.cond(ok, lambda: s._replace(done=jnp.ones((), bool)),
+                        shrink)
+
+    s = lax.while_loop(cond, body, init)
+    # final acceptance check (covers the case the loop exited on maxls)
+    gdx = _tdot(g0, _tmap(lambda u, v: u - v, s.x_a, x))
+    ok = (s.f_a <= f0 + c1 * gdx) & jnp.isfinite(s.f_a) & (s.f_a < f0)
+    x_new = _where_s(ok, s.x_a, x)
+    f_new = jnp.where(ok, s.f_a, f0)
+    g_new = _where_s(ok, s.g_a, g0)
+    return x_new, f_new, g_new, s.i, ok
 
 
 class _State(NamedTuple):
@@ -330,6 +391,7 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     leaves = jtu.tree_leaves(x0)
     dtype = leaves[0].dtype
     m = opts.m
+    bounded = (lower is not None) or (upper is not None)  # static
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     lower = (_tmap(lambda l: jnp.full(l.shape, -big, dtype), x0)
              if lower is None
@@ -373,16 +435,6 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
         bad_dir = (descent >= 0) | ~jnp.isfinite(descent)
         d = _where_s(bad_dir, _scale(-1.0, g_free), d)
 
-        # ---- max feasible step ------------------------------------------
-        steps = _tmap(
-            lambda xi, di, lo, hi: jnp.where(
-                di > 0, (hi - xi) / jnp.where(di > 0, di, 1.0),
-                jnp.where(di < 0, (lo - xi) / jnp.where(di < 0, di, 1.0),
-                          big)),
-            s.x, d, lower, upper)
-        a_max = jnp.maximum(jnp.minimum(_tmin(steps), big),
-                            jnp.asarray(1e-16, dtype))
-
         # ---- line search -------------------------------------------------
         gnorm1 = _treduce(lambda acc, l: acc + jnp.sum(jnp.abs(l)),
                           s.g, jnp.zeros((), dtype))
@@ -391,9 +443,17 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             jnp.minimum(jnp.asarray(1.0, dtype),
                         1.0 / jnp.maximum(gnorm1, 1e-300)),
             jnp.asarray(1.0, dtype))
-        a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
-            value_and_grad, s.x, d, s.f, s.g, a_init, a_max, opts)
-        x_new = _project(_axpy(a, d, s.x), lower, upper)
+        if bounded:
+            # projected-path Armijo backtracking (PQN): handles bound
+            # crossings without capping the step
+            x_new, f_new, g_new, ls_nfev, ls_ok = \
+                _projected_backtracking_ls(
+                    value_and_grad, s.x, d, s.f, s.g, a_init, lower,
+                    upper, opts)
+        else:
+            a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
+                value_and_grad, s.x, d, s.f, s.g, a_init, big, opts)
+            x_new = _axpy(a, d, s.x)
 
         # ---- history update (skip on tiny curvature) ---------------------
         sv = _tmap(lambda a_, b_: a_ - b_, x_new, s.x)
