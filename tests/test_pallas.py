@@ -1,0 +1,88 @@
+"""Pallas FE kernel correctness (interpreter mode on CPU) against the
+oracle-pinned XLA path: values and gradients, scalar and diagonal rf,
+all supported discs, block-boundary configs."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from varanneal_tpu.models import lorenz96
+from varanneal_tpu.ops import build_spec, make_action
+from varanneal_tpu.kernels import fe_pallas
+from varanneal_tpu.kernels.fe_pallas import (
+    make_fe_pallas, make_action_pallas, fe_supported)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    fe_pallas.set_interpret(True)
+    yield
+    fe_pallas.set_interpret(False)
+
+
+def _spec(disc="trapezoid", N_data=33, D=6, seed=0):
+    rng = np.random.default_rng(seed)
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    return build_spec(lorenz96, D, Y, t, [0, 2, 4], 4.0,
+                      disc=disc, P=np.array([8.17]), pidx=[0]), rng
+
+
+@pytest.mark.parametrize("disc", ["euler", "trapezoid", "forwardmap"])
+@pytest.mark.parametrize("rf_kind", ["scalar", "diag"])
+def test_fe_kernel_value_and_grad(disc, rf_kind):
+    spec, rng = _spec(disc=disc)
+    assert fe_supported(spec, 1.0)
+    fe = make_fe_pallas(spec, block_n=8)      # force multiple blocks
+    X = jnp.asarray(rng.normal(size=(spec.N_f, spec.D)))
+    pest = jnp.asarray([7.5])
+    if rf_kind == "scalar":
+        rf = jnp.asarray(3e-3)
+    else:
+        rf = jnp.asarray(rng.uniform(0.5, 2.0,
+                                     size=(spec.N_f - 1, spec.D)))
+
+    from varanneal_tpu.ops.action import merge_params, model_error
+    ref = model_error(spec, X, merge_params(spec, pest, X.dtype), rf)
+    got = fe(X, pest, rf)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+    g_ref = jax.grad(lambda x, p: model_error(
+        spec, x, merge_params(spec, p, x.dtype), rf), argnums=(0, 1))(
+        X, pest)
+    g_got = jax.grad(lambda x, p: fe(x, p, rf), argnums=(0, 1))(X, pest)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_ref[0]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=1e-12)
+
+
+def test_fe_kernel_uneven_blocks():
+    """N_f-1 not a multiple of block_n: padded rows must not contribute."""
+    spec, rng = _spec(N_data=29)              # 28 residual rows, block 8
+    fe = make_fe_pallas(spec, block_n=8)
+    X = jnp.asarray(rng.normal(size=(spec.N_f, spec.D)))
+    from varanneal_tpu.ops.action import merge_params, model_error
+    ref = model_error(spec, X, merge_params(spec, jnp.asarray([8.17]),
+                                            X.dtype), 2e-3)
+    got = fe(X, jnp.asarray([8.17]), jnp.asarray(2e-3))
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+
+def test_action_pallas_full_parity():
+    spec, rng = _spec()
+    a_ref, p_ref = make_action(spec)
+    a_pal, p_pal = make_action_pallas(spec)
+    XP = jnp.asarray(rng.normal(size=spec.n_dof))
+    v1 = [float(v) for v in p_ref(XP, 1e-3)]
+    v2 = [float(v) for v in p_pal(XP, 1e-3)]
+    np.testing.assert_allclose(v2, v1, rtol=1e-12)
+    g1 = np.asarray(jax.grad(a_ref)(XP, 1e-3))
+    g2 = np.asarray(jax.grad(a_pal)(XP, 1e-3))
+    np.testing.assert_allclose(g2, g1, rtol=1e-12)
+
+
+def test_fe_unsupported_fallback():
+    spec, _ = _spec(disc="SimpsonHermite")
+    assert not fe_supported(spec, 1.0)
