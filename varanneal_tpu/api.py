@@ -168,13 +168,16 @@ class Annealer:
                dt_model=None, init_to_data=True, action="A_gaussian",
                disc="trapezoid", method="L-BFGS-B", bounds=None,
                opt_args=None, adolcID=0, dtype=None, track_paths=True,
-               verbose=False):
+               verbose=False, checkpoint_path=None, checkpoint_every=10,
+               resume=True):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
         Annealer.anneal`` [M, SURVEY.md §2]). Extra TPU-native kwargs:
         ``dtype`` (default f64 when x64 is on), ``track_paths`` (store all
-        per-β minimizers; disable for huge problems), ``verbose``.
+        per-β minimizers; disable for huge problems), ``verbose``;
+        ``checkpoint_path``/``checkpoint_every``/``resume``: per-chunk
+        checkpointing of the ladder to an .npz (see anneal/checkpoint.py).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -217,14 +220,23 @@ class Annealer:
 
         act, parts = make_action(spec)
 
-        @jax.jit
-        def _ladder(XP0, betas):
-            return run_ladder(act, parts, XP0, betas, rf0, float(alpha),
-                              lower=lower, upper=upper, opts=opts,
-                              store_paths=track_paths)
-
         t0 = time.time()
-        res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
+        if checkpoint_path is not None:
+            from varanneal_tpu.anneal.checkpoint import \
+                run_ladder_checkpointed
+            res = run_ladder_checkpointed(
+                act, parts, jnp.asarray(XP0), betas, rf0, float(alpha),
+                ckpt_path=checkpoint_path, save_every=checkpoint_every,
+                lower=lower, upper=upper, opts=opts,
+                store_paths=track_paths, resume=resume, verbose=verbose)
+        else:
+            @jax.jit
+            def _ladder(XP0, betas):
+                return run_ladder(act, parts, XP0, betas, rf0, float(alpha),
+                                  lower=lower, upper=upper, opts=opts,
+                                  store_paths=track_paths)
+
+            res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)
         t1 = time.time()
         if verbose:
