@@ -51,6 +51,10 @@ class LBFGSOptions:
     maxls: int = 30
     c1: float = 1e-4            # Armijo constant
     c2: float = 0.9             # curvature constant
+    # direction computation: 'compact' (Byrd–Nocedal–Schnabel: 3 batched
+    # matvecs + (m,m) triangular solves — low launch latency, the TPU
+    # default) or 'two_loop' (classic 2m-step sequential recursion)
+    direction: str = "compact"
 
 
 class LBFGSResult(NamedTuple):
@@ -377,6 +381,85 @@ def _two_loop(g, S, Yh, rho, head, hlen, m, dtype):
     return _scale(-1.0, r)
 
 
+def _mat_rows_dot(A, B, m):
+    """(m, m) Gram-like matrix of two history pytrees: out[i,j] = a_i . b_j,
+    summing per-leaf (m, k) @ (k, m) matmuls — ONE batched contraction per
+    leaf instead of m^2 sequential dots."""
+    total = None
+    for a, b in zip(jtu.tree_leaves(A), jtu.tree_leaves(B)):
+        a2 = a.reshape(m, -1)
+        b2 = b.reshape(m, -1)
+        g = a2 @ b2.T
+        total = g if total is None else total + g
+    return total
+
+
+def _mat_vec(A, v, m):
+    """out[i] = a_i . v for a history pytree A and point-pytree v."""
+    total = None
+    for a, x in zip(jtu.tree_leaves(A), jtu.tree_leaves(v)):
+        g = a.reshape(m, -1) @ x.reshape(-1)
+        total = g if total is None else total + g
+    return total
+
+
+def _vec_mat(q, A):
+    """sum_i q[i] * a_i as a point-pytree (transpose of _mat_vec)."""
+    return _tmap(lambda a: jnp.tensordot(q, a, axes=1), A)
+
+
+def _compact_dir(g, S, Yh, rho, head, hlen, m, dtype):
+    """L-BFGS direction via the Byrd–Nocedal–Schnabel compact
+    representation — numerically the same inverse-Hessian application as
+    the two-loop recursion, but expressed as batched matvecs plus (m, m)
+    triangular solves, which cuts the sequential-op chain per iteration
+    (TPU launch latency) from ~4m to ~6.
+
+        H = γI + [S γY] [[R^{-T}(D+γYᵀY)R^{-1}, -R^{-T}], [-R^{-1}, 0]]
+                  [Sᵀ; γYᵀ],   R = triu(SᵀY), D = diag(SᵀY)
+    """
+    del rho
+    from jax.scipy.linalg import solve_triangular
+
+    # order: slot ord[j] holds the j-th oldest pair; first m-hlen invalid
+    j = jnp.arange(m)
+    ord_ = (head - m + j) % m
+    valid = j >= (m - hlen)                 # (m,) bool, oldest..newest
+    vf = valid.astype(dtype)
+
+    SY = _mat_rows_dot(S, Yh, m)[ord_][:, ord_]       # [i,j] = s_i . y_j
+    YY = _mat_rows_dot(Yh, Yh, m)[ord_][:, ord_]
+    mask2 = vf[:, None] * vf[None, :]
+    SY = SY * mask2
+    YY = YY * mask2
+    R = jnp.triu(SY)
+    # unit diagonal on invalid slots keeps the triangular solves regular
+    R = R + jnp.diag(jnp.where(valid, 0.0, 1.0).astype(dtype))
+    Dd = jnp.diag(jnp.diag(SY))
+
+    sy_new = SY[m - 1, m - 1]
+    yy_new = YY[m - 1, m - 1]
+    gamma = jnp.where(hlen > 0, sy_new / jnp.maximum(yy_new, 1e-300),
+                      jnp.asarray(1.0, dtype))
+
+    a = _mat_vec(S, g, m)[ord_] * vf                  # Sᵀ g
+    b = _mat_vec(Yh, g, m)[ord_] * vf                 # Yᵀ g
+
+    u = solve_triangular(R, a, lower=False)           # R^{-1} a
+    v = (Dd + gamma * YY) @ u - gamma * b
+    w = solve_triangular(R.T, v, lower=True)          # R^{-T} v
+    q1 = w * vf
+    q2 = -u * vf
+
+    # scatter back to raw slot order and contract with the history
+    q1_raw = jnp.zeros(m, dtype).at[ord_].set(q1)
+    q2_raw = jnp.zeros(m, dtype).at[ord_].set(q2)
+    Sq = _vec_mat(q1_raw, S)
+    Yq = _vec_mat(q2_raw, Yh)
+    Hg = _tmap(lambda gi, si, yi: gamma * gi + si + gamma * yi, g, Sq, Yq)
+    return _scale(-1.0, Hg)
+
+
 def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
                    opts: Optional[LBFGSOptions] = None) -> LBFGSResult:
     """Minimize ``f`` given ``value_and_grad(x) -> (f, g)`` from ``x0``,
@@ -429,7 +512,9 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             | ((xi >= hi - eps_b) & (gi < 0)),
             s.x, s.g, lower, upper)
         g_free = _tmap(lambda a, gi: jnp.where(a, 0.0, gi), active, s.g)
-        d = _two_loop(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m, dtype)
+        dir_fn = (_compact_dir if opts.direction == "compact"
+                  else _two_loop)
+        d = dir_fn(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m, dtype)
         d = _tmap(lambda a, di: jnp.where(a, 0.0, di), active, d)
         descent = _tdot(s.g, d)
         bad_dir = (descent >= 0) | ~jnp.isfinite(descent)
