@@ -44,7 +44,8 @@ class LadderResult(NamedTuple):
 
 def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
-               store_paths: bool = True) -> LadderResult:
+               store_paths: bool = True, inner: str = "lbfgs",
+               residual_fn=None, lm_opts=None) -> LadderResult:
     """Run the full annealing ladder from initial decision vector ``XP0``.
 
     ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
@@ -52,6 +53,10 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     ``store_paths=False`` drops the (Nbeta, n_dof) minimizer record — use for
     very large ensembles where that array would dominate HBM (SURVEY.md §7
     memory note).
+
+    ``inner``: 'lbfgs' (default) or 'lm' — the matrix-free Gauss–Newton /
+    Levenberg–Marquardt solver (``opt/lm.py``); 'lm' requires
+    ``residual_fn(XP, rf)`` (see ``opt.lm.make_residual_fn``).
     """
     opts = opts or LBFGSOptions()
     XP0 = jax.tree_util.tree_map(jnp.asarray, XP0)
@@ -60,11 +65,22 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     rf0 = jnp.asarray(rf0, dtype)
     alpha = jnp.asarray(alpha, dtype)
     vag = jax.value_and_grad(action)
+    if inner == "lm":
+        if residual_fn is None:
+            raise ValueError("inner='lm' requires residual_fn")
+        from varanneal_tpu.opt.lm import lm_minimize, LMOptions
+        lm_opts = lm_opts or LMOptions()
+    elif inner != "lbfgs":
+        raise ValueError(f"unknown inner solver {inner!r}")
 
     def step(XP, beta):
         rf = rf0 * alpha ** beta
-        res = lbfgs_minimize(lambda z: vag(z, rf), XP,
-                             lower=lower, upper=upper, opts=opts)
+        if inner == "lm":
+            res = lm_minimize(lambda z: residual_fn(z, rf), XP,
+                              lower=lower, upper=upper, opts=lm_opts)
+        else:
+            res = lbfgs_minimize(lambda z: vag(z, rf), XP,
+                                 lower=lower, upper=upper, opts=opts)
         A, me, fe = action_parts(res.x, rf)
         rec = dict(A=A, ME=me, FE=fe, status=res.status, niter=res.niter,
                    nfev=res.nfev, pgnorm=res.pgnorm)
