@@ -44,7 +44,8 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
                             opts: Optional[LBFGSOptions] = None,
                             store_paths: bool = True,
                             resume: bool = True,
-                            verbose: bool = False) -> LadderResult:
+                            verbose: bool = False,
+                            **ladder_kwargs) -> LadderResult:
     """Drop-in for :func:`run_ladder` with per-chunk checkpointing.
 
     ``ckpt_path``: ``.npz`` file updated after every ``save_every`` β steps.
@@ -88,7 +89,8 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
         if n not in compiled:
             compiled[n] = jax.jit(lambda x, b: run_ladder(
                 action, action_parts, x, b, rf0, alpha, lower=lower,
-                upper=upper, opts=opts, store_paths=store_paths))
+                upper=upper, opts=opts, store_paths=store_paths,
+                **ladder_kwargs))
         return compiled[n](xp, jnp.asarray(beta_chunk, XP0.dtype))
 
     i = start

@@ -183,7 +183,7 @@ class Annealer:
             raise RuntimeError("call set_model and set_data before anneal")
         if action != "A_gaussian":
             raise ValueError("only action='A_gaussian' is supported")
-        if method not in ("L-BFGS-B", "LBFGS"):
+        if method not in ("L-BFGS-B", "LBFGS", "LM", "GN"):
             raise ValueError(f"unsupported method {method!r}")
         del adolcID  # no tape registry; kept for signature compatibility
         dtype = dtype or _default_dtype()
@@ -219,6 +219,13 @@ class Annealer:
         betas = np.asarray(beta_array, dtype=dtype)
 
         act, parts = make_action(spec)
+        inner, residual_fn, lm_opts = "lbfgs", None, None
+        if method in ("LM", "GN"):
+            from varanneal_tpu.opt.lm import make_residual_fn, LMOptions
+            inner = "lm"
+            residual_fn = make_residual_fn(spec)
+            lm_opts = LMOptions(maxiter=opts.maxiter,
+                                ftol=opts.ftol, pgtol=opts.pgtol)
 
         t0 = time.time()
         if checkpoint_path is not None:
@@ -228,13 +235,15 @@ class Annealer:
                 act, parts, jnp.asarray(XP0), betas, rf0, float(alpha),
                 ckpt_path=checkpoint_path, save_every=checkpoint_every,
                 lower=lower, upper=upper, opts=opts,
-                store_paths=track_paths, resume=resume, verbose=verbose)
+                store_paths=track_paths, resume=resume, verbose=verbose,
+                inner=inner, residual_fn=residual_fn, lm_opts=lm_opts)
         else:
             @jax.jit
             def _ladder(XP0, betas):
                 return run_ladder(act, parts, XP0, betas, rf0, float(alpha),
                                   lower=lower, upper=upper, opts=opts,
-                                  store_paths=track_paths)
+                                  store_paths=track_paths, inner=inner,
+                                  residual_fn=residual_fn, lm_opts=lm_opts)
 
             res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)
