@@ -8,7 +8,8 @@ divided by the measured wall-clock — >1 beats the target.
 
 Env knobs: BENCH_DTYPE=f32|f64 (default f32), BENCH_NINIT (default 1,
 vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
-101), BENCH_MAXITER (default 500).
+101), BENCH_MAXITER (default 500), BENCH_PALLAS=1 (fused Pallas FE
+forward), BENCH_DIRECTION=compact|two_loop, BENCH_INNER=lbfgs|lm.
 """
 
 import json
@@ -45,13 +46,25 @@ def main():
     tw = lorenz96_twin(D=20, N_data=161, n_obs=8)
     spec = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
                       disc="trapezoid", P=np.array([4.0]), pidx=[0])
-    action, parts = make_action(spec)
+    if os.environ.get("BENCH_PALLAS") == "1":
+        from varanneal_tpu.kernels.fe_pallas import make_action_pallas
+        action, parts = make_action_pallas(spec)
+    else:
+        action, parts = make_action(spec)
 
     betas = jnp.arange(n_beta, dtype=dtype)
     rf0 = dtype(4e-6 * tw["RM"])
-    opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol)
+    direction = os.environ.get("BENCH_DIRECTION", "compact")
+    opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,
+                        direction=direction)
+    ladder_kw = {}
+    if os.environ.get("BENCH_INNER", "lbfgs") == "lm":
+        from varanneal_tpu.opt.lm import make_residual_fn, LMOptions
+        ladder_kw = dict(inner="lm", residual_fn=make_residual_fn(spec),
+                         lm_opts=LMOptions(maxiter=maxiter // 10,
+                                           ftol=ftol, pgtol=pgtol))
     fn = make_ensemble_ladder(action, parts, betas, rf0, 1.5, opts=opts,
-                              store_paths=False)
+                              store_paths=False, **ladder_kw)
 
     xp0 = jnp.asarray(
         random_ensemble_inits(spec, n_init, seed=3, dtype=dtype))

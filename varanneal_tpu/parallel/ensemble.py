@@ -30,7 +30,7 @@ def make_ensemble_ladder(action, action_parts, betas, rf0, alpha, *,
                          opts: Optional[LBFGSOptions] = None,
                          store_paths: bool = False,
                          mesh: Optional[Mesh] = None,
-                         axis: str = "ens"):
+                         axis: str = "ens", **ladder_kwargs):
     """Build a jitted function mapping a batch of initial decision vectors
     (B, n_dof) to a batched LadderResult.
 
@@ -44,7 +44,7 @@ def make_ensemble_ladder(action, action_parts, betas, rf0, alpha, *,
     def one(xp0):
         return run_ladder(action, action_parts, xp0, betas, rf0, alpha,
                           lower=lower, upper=upper, opts=opts,
-                          store_paths=store_paths)
+                          store_paths=store_paths, **ladder_kwargs)
 
     batched = jax.vmap(one)
     if mesh is None:
