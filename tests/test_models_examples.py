@@ -1,0 +1,51 @@
+"""Model-level checks (lorenz63 vs independent NumPy) and example-script
+smoke runs through the real CLI surface."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from varanneal_tpu.models import lorenz63, lorenz96
+
+
+def test_lorenz63_vs_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 3))
+    p = np.array([10.0, 28.0, 8.0 / 3.0])
+    got = np.asarray(lorenz63(0.0, jnp.asarray(x), jnp.asarray(p)))
+    want = np.stack([
+        p[0] * (x[:, 1] - x[:, 0]),
+        x[:, 0] * (p[1] - x[:, 2]) - x[:, 1],
+        x[:, 0] * x[:, 1] - p[2] * x[:, 2],
+    ], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # time-dependent parameter form broadcasts
+    p_td = np.tile(p, (7, 1))
+    got_td = np.asarray(lorenz63(0.0, jnp.asarray(x), jnp.asarray(p_td)))
+    np.testing.assert_allclose(got_td, want, rtol=1e-12)
+
+
+def test_lorenz96_conserves_under_symmetry():
+    """Rotational symmetry: rolling the state rolls the tendency."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 10))
+    f = np.asarray(lorenz96(0.0, jnp.asarray(x), 8.0))
+    f_rolled = np.asarray(lorenz96(0.0, jnp.asarray(np.roll(x, 3, 1)), 8.0))
+    np.testing.assert_allclose(np.roll(f, 3, 1), f_rolled, rtol=1e-12)
+
+
+def test_example_lorenz96_d20_small_runs():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    r = subprocess.run(
+        [sys.executable, "examples/lorenz96_d20.py", "--small",
+         "--maxiter", "150"],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=os.getcwd())
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "F =" in r.stdout
+    for f in ("l96_paths.npy", "l96_params.npy", "l96_action_errors.dat"):
+        assert os.path.exists(f)
+        os.unlink(f)

@@ -18,7 +18,7 @@ next optimization step.
 
 Correctness is tested in interpreter mode on CPU against the oracle-pinned
 XLA path (tests/test_pallas.py); the kernel must win a real-TPU benchmark
-against the XLA path before being preferred (see bench_kernels.py).
+against the XLA path before being preferred (bench.py with BENCH_PALLAS=1).
 """
 
 import functools
