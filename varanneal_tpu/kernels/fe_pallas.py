@@ -68,7 +68,8 @@ def _kern_scalar(spec, block_n, x_hbm, p_ref, rf_ref, out_ref, xs, sem):
     cp = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, B + 1), :], xs, sem)
     cp.start()
     cp.wait()
-    x = xs[:, :]
+    # lane-padded load; compute on the real D columns only
+    x = xs[:, : spec.D]
     dtype = x.dtype
     t0 = jnp.asarray(float(spec.t_f[0]), dtype)
     gdt = jnp.asarray(float(spec.t_f[1] - spec.t_f[0]), dtype)
@@ -92,7 +93,7 @@ def _kern_diag(spec, block_n, x_hbm, p_ref, rf_hbm, out_ref, xs, rfs, sem):
     cp_r.start()
     cp_x.wait()
     cp_r.wait()
-    x = xs[:, :]
+    x = xs[:, : spec.D]
     dtype = x.dtype
     t0 = jnp.asarray(float(spec.t_f[0]), dtype)
     gdt = jnp.asarray(float(spec.t_f[1] - spec.t_f[0]), dtype)
@@ -101,23 +102,29 @@ def _kern_diag(spec, block_n, x_hbm, p_ref, rf_hbm, out_ref, xs, rfs, sem):
     r = _residual(spec, ts, x, p_ref[0])
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
              < spec.N_f - 1).astype(dtype)
-    out_ref[0, 0] = jnp.sum(rfs[:, :] * valid * r * r)
+    out_ref[0, 0] = jnp.sum(rfs[:, : spec.D] * valid * r * r)
 
 
 def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
     """Build ``fe(X, pest, rf) -> scalar`` with a fused Pallas forward and a
-    plain-JAX backward (custom_vjp). ``rf``: scalar or (N_f-1, D)."""
+    plain-JAX backward (custom_vjp). ``rf``: scalar or (N_f-1, D).
+
+    Arrays are lane-padded to the TPU 128-lane tile before entering the
+    kernel (Mosaic requires DMA slices aligned to the tiling); compute
+    slices back to the real D columns.
+    """
     n_res = spec.N_f - 1
     block_n = int(min(block_n, max(8, ((n_res + 7) // 8) * 8)))
     n_blocks = -(-n_res // block_n)
     N_padded = n_blocks * block_n + 1
+    D_pad = max(128, -(-spec.D // 128) * 128)
 
     def _pad_x(X):
         pad = N_padded - spec.N_f
         if pad:
             X = jnp.concatenate(
                 [X, jnp.broadcast_to(X[-1:], (pad, spec.D))], axis=0)
-        return X
+        return jnp.pad(X, ((0, 0), (0, D_pad - spec.D)))
 
     norm = spec.D * (spec.N_f - 1)
 
@@ -145,7 +152,7 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((block_n + 1, spec.D), dtype),
+                    pltpu.VMEM((block_n + 1, D_pad), dtype),
                     pltpu.SemaphoreType.DMA,
                 ],
                 **common,
@@ -154,6 +161,7 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
             pad = (N_padded - 1) - n_res
             rf_arr = jnp.concatenate(
                 [rf.astype(dtype), jnp.zeros((pad, spec.D), dtype)], axis=0)
+            rf_arr = jnp.pad(rf_arr, ((0, 0), (0, D_pad - spec.D)))
             kern = functools.partial(_kern_diag, spec, block_n)
             partials = pl.pallas_call(
                 kern,
@@ -163,8 +171,8 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((block_n + 1, spec.D), dtype),
-                    pltpu.VMEM((block_n, spec.D), dtype),
+                    pltpu.VMEM((block_n + 1, D_pad), dtype),
+                    pltpu.VMEM((block_n, D_pad), dtype),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
                 **common,
