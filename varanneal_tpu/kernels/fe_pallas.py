@@ -3,11 +3,22 @@ accumulation over the (N_f, D) state-time plane.
 
 This is the hot op of the whole framework (BASELINE north star: "residual
 assembly in Pallas"): every L-BFGS iteration evaluates FE and its gradient.
-The kernel streams time-blocks of X from HBM into VMEM with a one-row halo,
-evaluates the user vector field f INSIDE the kernel (f is jnp-traceable, so
-Mosaic lowers it), forms the discretization residual, contracts with the
-annealed precision, and accumulates a per-block partial sum — one pass over
-HBM, no materialized (N, D) residual/f arrays.
+The kernel streams time-blocks of the state plane through VMEM, evaluates
+the user vector field f INSIDE the kernel (f is jnp-traceable, so Mosaic
+lowers it), forms the discretization residual, contracts with the annealed
+precision, and accumulates per-block partial sums — no materialized (N, D)
+residual/f arrays in HBM.
+
+Kernel shape (the Mosaic-friendly design, learned the hard way):
+
+- the one-row stencil halo is expressed as TWO standard-blocked inputs —
+  the shifted views X[:-1] and X[1:] — instead of manual halo DMA
+  (unaligned HBM->VMEM slices violate the 128-lane tiling rule, and manual
+  DMA forfeits Mosaic's automatic double-buffered pipelining);
+- arrays are lane-padded to the 128 tile outside; compute value-slices back
+  to the real D columns;
+- per-block partial sums land in a full-array SMEM output, one row per
+  grid step (per-block (1,1) blocking violates the block-shape rule).
 
 Scope (v1): euler/trapezoid/forwardmap discretizations, scalar or
 (N_f-1, D)-diagonal rf, time-independent parameters, no stimulus. The
@@ -17,8 +28,9 @@ backward pass expressed in plain JAX (XLA-fused); a Pallas backward is the
 next optimization step.
 
 Correctness is tested in interpreter mode on CPU against the oracle-pinned
-XLA path (tests/test_pallas.py); the kernel must win a real-TPU benchmark
-against the XLA path before being preferred (bench.py with BENCH_PALLAS=1).
+XLA path (tests/test_pallas.py) and re-verified on real TPU hardware; the
+kernel must win a real-TPU benchmark against the XLA path before being
+preferred (bench.py with BENCH_PALLAS=1).
 """
 
 import functools
@@ -50,95 +62,75 @@ def fe_supported(spec: ProblemSpec, rf) -> bool:
             and rf.ndim in (0, 2))
 
 
-def _residual(spec: ProblemSpec, ts, x, p):
-    """Discretization residual on a (B+1, D) block (B residual rows)."""
+def _block_residual(spec: ProblemSpec, x_n, x_np1, p):
+    """Discretization residual rows given the two shifted state blocks."""
     h = spec.dt
-    f_all = spec.f(ts, x, p)
+    # t is unused by the built-in autonomous models; pass zeros (the
+    # general XLA path handles explicitly time-dependent f)
+    t = jnp.zeros((x_n.shape[0],), x_n.dtype)
+    fn = spec.f(t, x_n, p)
     if spec.disc == "trapezoid":
-        return x[1:] - x[:-1] - (h / 2.0) * (f_all[:-1] + f_all[1:])
+        fnp1 = spec.f(t, x_np1, p)
+        return x_np1 - x_n - (h / 2.0) * (fn + fnp1)
     if spec.disc == "euler":
-        return x[1:] - x[:-1] - h * f_all[:-1]
-    return x[1:] - f_all[:-1]          # forwardmap
+        return x_np1 - x_n - h * fn
+    return x_np1 - fn          # forwardmap
 
 
-def _kern_scalar(spec, block_n, x_hbm, p_ref, rf_ref, out_ref, xs, sem):
+def _kern_scalar(spec, block_n, x0_ref, x1_ref, p_ref, rf_ref, out_ref):
     i = pl.program_id(0)
-    B = block_n
-    row0 = i * B
-    cp = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, B + 1), :], xs, sem)
-    cp.start()
-    cp.wait()
-    # lane-padded load; compute on the real D columns only
-    x = xs[:, : spec.D]
-    dtype = x.dtype
-    t0 = jnp.asarray(float(spec.t_f[0]), dtype)
-    gdt = jnp.asarray(float(spec.t_f[1] - spec.t_f[0]), dtype)
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (B + 1, 1), 0)[:, 0]
-    ts = t0 + gdt * rows.astype(dtype)
-    r = _residual(spec, ts, x, p_ref[0])
+    x_n = x0_ref[:, : spec.D]
+    x_np1 = x1_ref[:, : spec.D]
+    r = _block_residual(spec, x_n, x_np1, p_ref[0])
+    row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
-             < spec.N_f - 1).astype(dtype)
-    out_ref[0, 0] = rf_ref[0, 0] * jnp.sum(valid * r * r)
+             < spec.N_f - 1).astype(r.dtype)
+    out_ref[i, 0] = rf_ref[0, 0] * jnp.sum(valid * r * r)
 
 
-def _kern_diag(spec, block_n, x_hbm, p_ref, rf_hbm, out_ref, xs, rfs, sem):
+def _kern_diag(spec, block_n, x0_ref, x1_ref, p_ref, rf_ref, out_ref):
     i = pl.program_id(0)
-    B = block_n
-    row0 = i * B
-    cp_x = pltpu.make_async_copy(x_hbm.at[pl.ds(row0, B + 1), :], xs,
-                                 sem.at[0])
-    cp_x.start()
-    cp_r = pltpu.make_async_copy(rf_hbm.at[pl.ds(row0, B), :], rfs,
-                                 sem.at[1])
-    cp_r.start()
-    cp_x.wait()
-    cp_r.wait()
-    x = xs[:, : spec.D]
-    dtype = x.dtype
-    t0 = jnp.asarray(float(spec.t_f[0]), dtype)
-    gdt = jnp.asarray(float(spec.t_f[1] - spec.t_f[0]), dtype)
-    rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (B + 1, 1), 0)[:, 0]
-    ts = t0 + gdt * rows.astype(dtype)
-    r = _residual(spec, ts, x, p_ref[0])
+    x_n = x0_ref[:, : spec.D]
+    x_np1 = x1_ref[:, : spec.D]
+    r = _block_residual(spec, x_n, x_np1, p_ref[0])
+    row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
-             < spec.N_f - 1).astype(dtype)
-    out_ref[0, 0] = jnp.sum(rfs[:, : spec.D] * valid * r * r)
+             < spec.N_f - 1).astype(r.dtype)
+    out_ref[i, 0] = jnp.sum(rf_ref[:, : spec.D] * valid * r * r)
 
 
-def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
+def make_fe_pallas(spec: ProblemSpec, block_n: int = 512) -> Callable:
     """Build ``fe(X, pest, rf) -> scalar`` with a fused Pallas forward and a
-    plain-JAX backward (custom_vjp). ``rf``: scalar or (N_f-1, D).
-
-    Arrays are lane-padded to the TPU 128-lane tile before entering the
-    kernel (Mosaic requires DMA slices aligned to the tiling); compute
-    slices back to the real D columns.
-    """
+    plain-JAX backward (custom_vjp). ``rf``: scalar or (N_f-1, D)."""
     n_res = spec.N_f - 1
     block_n = int(min(block_n, max(8, ((n_res + 7) // 8) * 8)))
     n_blocks = -(-n_res // block_n)
-    N_padded = n_blocks * block_n + 1
+    rows_pad = n_blocks * block_n          # rows of the shifted views
     D_pad = max(128, -(-spec.D // 128) * 128)
 
-    def _pad_x(X):
-        pad = N_padded - spec.N_f
-        if pad:
+    def _pad(X):
+        extra = (rows_pad + 1) - spec.N_f
+        if extra:
             X = jnp.concatenate(
-                [X, jnp.broadcast_to(X[-1:], (pad, spec.D))], axis=0)
+                [X, jnp.broadcast_to(X[-1:], (extra, spec.D))], axis=0)
         return jnp.pad(X, ((0, 0), (0, D_pad - spec.D)))
 
     norm = spec.D * (spec.N_f - 1)
+    xblk = pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
 
     def _forward_pallas(X, pest, rf):
         dtype = X.dtype
-        P = jnp.reshape(
-            _action.merge_params(spec, pest, dtype), (1, -1))
-        Xp = _pad_x(X)
+        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
+        Xp = _pad(X)
+        x0, x1 = Xp[:-1], Xp[1:]
         rf = jnp.asarray(rf, dtype)
         scalar_rf = rf.ndim == 0
         common = dict(
             grid=(n_blocks,),
-            out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.SMEM),
+            # full-array SMEM output; each grid step writes its own row
+            # (per-block (1,1) blocking violates the block-shape rule)
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
             interpret=_INTERPRET[0],
         )
@@ -146,37 +138,25 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 256) -> Callable:
             kern = functools.partial(_kern_scalar, spec, block_n)
             partials = pl.pallas_call(
                 kern,
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((block_n + 1, D_pad), dtype),
-                    pltpu.SemaphoreType.DMA,
-                ],
+                in_specs=[xblk, xblk,
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
                 **common,
-            )(Xp, P, jnp.reshape(rf, (1, 1)))
+            )(x0, x1, P, jnp.reshape(rf, (1, 1)))
         else:
-            pad = (N_padded - 1) - n_res
+            pad = rows_pad - n_res
             rf_arr = jnp.concatenate(
                 [rf.astype(dtype), jnp.zeros((pad, spec.D), dtype)], axis=0)
             rf_arr = jnp.pad(rf_arr, ((0, 0), (0, D_pad - spec.D)))
             kern = functools.partial(_kern_diag, spec, block_n)
             partials = pl.pallas_call(
                 kern,
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((block_n + 1, D_pad), dtype),
-                    pltpu.VMEM((block_n, D_pad), dtype),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
+                in_specs=[xblk, xblk,
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)],
                 **common,
-            )(Xp, P, rf_arr)
+            )(x0, x1, P, rf_arr)
         return jnp.sum(partials) / norm
 
     def _fe_xla(X, pest, rf):
