@@ -6,7 +6,6 @@ valib.cpp for what the native side provides and why.
 """
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

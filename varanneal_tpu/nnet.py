@@ -23,14 +23,13 @@ Input-layer states may be soft-coupled via ME (default, matching the
 reference's ME-at-both-ends shape) or hard-clamped (``clamp_input=True``).
 """
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from varanneal_tpu.opt.lbfgs import LBFGSOptions
 from varanneal_tpu.anneal.ladder import run_ladder
 from varanneal_tpu import io as vio
 from varanneal_tpu.api import make_lbfgs_options, _STATUS_TO_SCIPY

@@ -20,7 +20,7 @@ Residuals are in state units (no 1/h^2 factor — SURVEY.md checklist item
 "FE residual units").
 """
 
-from varanneal_tpu.ops.spec import ProblemSpec, DISC_NAMES  # noqa: F401
+from varanneal_tpu.ops.spec import ProblemSpec
 
 
 def _f_at(spec: ProblemSpec, X, P, sl):

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from varanneal_tpu.opt.lbfgs import LBFGSOptions
 from varanneal_tpu.anneal.ladder import run_ladder
-from varanneal_tpu.ops.action import make_action, pack
+from varanneal_tpu.ops.action import pack
 from varanneal_tpu.ops.spec import ProblemSpec
 
 
