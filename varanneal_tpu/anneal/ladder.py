@@ -54,9 +54,10 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     very large ensembles where that array would dominate HBM (SURVEY.md §7
     memory note).
 
-    ``inner``: 'lbfgs' (default) or 'lm' — the matrix-free Gauss–Newton /
-    Levenberg–Marquardt solver (``opt/lm.py``); 'lm' requires
-    ``residual_fn(XP, rf)`` (see ``opt.lm.make_residual_fn``).
+    ``inner``: 'lbfgs' (default), 'lm' — the matrix-free Gauss–Newton /
+    Levenberg–Marquardt solver (``opt/lm.py``, requires
+    ``residual_fn(XP, rf)``) — or 'ncg' (nonlinear conjugate gradient,
+    unbounded only).
     """
     opts = opts or LBFGSOptions()
     XP0 = jax.tree_util.tree_map(jnp.asarray, XP0)
@@ -70,6 +71,12 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
             raise ValueError("inner='lm' requires residual_fn")
         from varanneal_tpu.opt.lm import lm_minimize, LMOptions
         lm_opts = lm_opts or LMOptions()
+    elif inner == "ncg":
+        if lower is not None or upper is not None:
+            raise ValueError("inner='ncg' does not support bounds")
+        from varanneal_tpu.opt.ncg import ncg_minimize, NCGOptions
+        ncg_opts = NCGOptions(maxiter=opts.maxiter, ftol=opts.ftol,
+                              pgtol=opts.pgtol, maxls=opts.maxls)
     elif inner != "lbfgs":
         raise ValueError(f"unknown inner solver {inner!r}")
 
@@ -78,6 +85,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
         if inner == "lm":
             res = lm_minimize(lambda z: residual_fn(z, rf), XP,
                               lower=lower, upper=upper, opts=lm_opts)
+        elif inner == "ncg":
+            res = ncg_minimize(lambda z: vag(z, rf), XP, opts=ncg_opts)
         else:
             res = lbfgs_minimize(lambda z: vag(z, rf), XP,
                                  lower=lower, upper=upper, opts=opts)

@@ -11,9 +11,10 @@ Compatibility notes (pinned decisions, reference mount empty):
 
 - ``adolcID`` is accepted and ignored — there is no global tape registry to
   namespace; ensembles are vmapped instead (``parallel/ensemble.py``).
-- ``method`` accepts 'L-BFGS-B' (device-side bounded L-BFGS). The
-  reference's secondary SciPy methods (TNC/CG [M]) are not part of the
-  minimum surface.
+- ``method`` accepts 'L-BFGS-B' (device-side bounded L-BFGS, default),
+  'LM'/'GN' (matrix-free Levenberg-Marquardt / Gauss-Newton) and 'CG'/'NCG'
+  (nonlinear conjugate gradient, unbounded) — covering and exceeding the
+  reference's secondary SciPy methods [M]. TNC is not implemented.
 - exit flags are mapped to SciPy-like codes: 0 converged (pgtol or ftol),
   1 maxiter exhausted, 2 line-search failure.
 """
@@ -183,7 +184,7 @@ class Annealer:
             raise RuntimeError("call set_model and set_data before anneal")
         if action != "A_gaussian":
             raise ValueError("only action='A_gaussian' is supported")
-        if method not in ("L-BFGS-B", "LBFGS", "LM", "GN"):
+        if method not in ("L-BFGS-B", "LBFGS", "LM", "GN", "CG", "NCG"):
             raise ValueError(f"unsupported method {method!r}")
         del adolcID  # no tape registry; kept for signature compatibility
         dtype = dtype or _default_dtype()
@@ -226,6 +227,8 @@ class Annealer:
             residual_fn = make_residual_fn(spec)
             lm_opts = LMOptions(maxiter=opts.maxiter,
                                 ftol=opts.ftol, pgtol=opts.pgtol)
+        elif method in ("CG", "NCG"):
+            inner = "ncg"
 
         t0 = time.time()
         if checkpoint_path is not None:
