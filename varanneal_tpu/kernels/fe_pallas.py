@@ -99,9 +99,56 @@ def _kern_diag(spec, block_n, x0_ref, x1_ref, p_ref, rf_ref, out_ref):
     out_ref[i, 0] = jnp.sum(rf_ref[:, : spec.D] * valid * r * r)
 
 
-def make_fe_pallas(spec: ProblemSpec, block_n: int = 512) -> Callable:
+def _disc_coeffs(spec: ProblemSpec):
+    """Unified adjoint coefficients: gx_m = 2c [wr_{m-1} - a1 wr_m
+    - J_m^T v_m], gp = -2c sum_m F_m^T v_m, with v_m = c0 wr_{m-1}
+    + c1 wr_m (hand-derived; cross-checked against the analytic C++
+    engine's formulas in native/valib.cpp and jax.grad)."""
+    h = spec.dt
+    if spec.disc == "trapezoid":
+        return 1.0, h / 2.0, h / 2.0
+    if spec.disc == "euler":
+        return 1.0, 0.0, h
+    return 0.0, 0.0, 1.0   # forwardmap
+
+
+def _kern_bwd(spec, block_n, NP,
+              xprev_ref, xmid_ref, xnext_ref, wprev_ref, wcur_ref, p_ref,
+              gx_ref, gp_ref):
+    """Backward block: gradient rows m in [i*B, (i+1)*B).
+
+    Inputs are shifted views so row j of the block sees x_{m-1}, x_m,
+    x_{m+1} and the weight rows w_{m-1}, w_m (zero rows encode the
+    boundary / padding, so no explicit masks are needed)."""
+    i = pl.program_id(0)
+    D = spec.D
+    a1, c0, c1 = _disc_coeffs(spec)
+    x_prev = xprev_ref[:, :D]
+    x_mid = xmid_ref[:, :D]
+    x_next = xnext_ref[:, :D]
+    w_prev = wprev_ref[:, :D]
+    w_cur = wcur_ref[:, :D]
+    p = p_ref[0]
+
+    wr_prev = w_prev * _block_residual(spec, x_prev, x_mid, p)
+    wr_cur = w_cur * _block_residual(spec, x_mid, x_next, p)
+    v = c0 * wr_prev + c1 * wr_cur
+
+    t = jnp.zeros((x_mid.shape[0],), x_mid.dtype)
+    _, f_vjp = jax.vjp(lambda xx, pp: spec.f(t, xx, pp), x_mid, p)
+    xbar, pbar = f_vjp(v)
+
+    gx = wr_prev - a1 * wr_cur - xbar
+    gx_ref[:, :D] = gx
+    gx_ref[:, D:] = jnp.zeros_like(gx_ref[:, D:])
+    for j in range(NP):
+        gp_ref[i, j] = -pbar[j]
+
+
+def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
+                   pallas_backward: bool = True) -> Callable:
     """Build ``fe(X, pest, rf) -> scalar`` with a fused Pallas forward and a
-    plain-JAX backward (custom_vjp). ``rf``: scalar or (N_f-1, D)."""
+    fused Pallas backward (custom_vjp). ``rf``: scalar or (N_f-1, D)."""
     n_res = spec.N_f - 1
     block_n = int(min(block_n, max(8, ((n_res + 7) // 8) * 8)))
     n_blocks = -(-n_res // block_n)
@@ -159,6 +206,60 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512) -> Callable:
             )(x0, x1, P, rf_arr)
         return jnp.sum(partials) / norm
 
+    # ---------------- backward (fused Pallas adjoint) -------------------
+    NP = spec.NP
+    n_blocks_g = -(-spec.N_f // block_n)
+    rows_g = n_blocks_g * block_n
+    gblk = pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def _backward_pallas(X, pest, rf, g):
+        dtype = X.dtype
+        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
+        # states padded to rows_g + 1 rows, then a duplicated front row so
+        # shifted views give (x_{m-1}, x_m, x_{m+1}) for every gradient row
+        extra = (rows_g + 1) - spec.N_f
+        Xb = X
+        if extra:
+            Xb = jnp.concatenate(
+                [Xb, jnp.broadcast_to(Xb[-1:], (extra, spec.D))], axis=0)
+        Xb = jnp.pad(Xb, ((0, 0), (0, D_pad - spec.D)))
+        Xg = jnp.concatenate([Xb[:1], Xb], axis=0)      # rows_g + 2
+        x_prev, x_mid, x_next = Xg[:-2], Xg[1:-1], Xg[2:]
+
+        # weight rows: zero row m=-1 boundary + zero padding rows encode
+        # all masking
+        rf_b = jnp.asarray(rf, dtype)
+        if rf_b.ndim == 0:
+            W = jnp.broadcast_to(rf_b, (n_res, spec.D)).astype(dtype)
+        else:
+            W = rf_b.astype(dtype)
+        W = jnp.concatenate(
+            [jnp.zeros((1, spec.D), dtype), W,
+             jnp.zeros((rows_g - n_res, spec.D), dtype)], axis=0)
+        W = jnp.pad(W, ((0, 0), (0, D_pad - spec.D)))   # rows_g + 1
+        w_prev, w_cur = W[:-1], W[1:]
+
+        np_out = max(NP, 1)
+        kern = functools.partial(_kern_bwd, spec, block_n, NP)
+        gx_pad, gp_parts = pl.pallas_call(
+            kern,
+            grid=(n_blocks_g,),
+            in_specs=[gblk, gblk, gblk, gblk, gblk,
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(gblk,
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((rows_g, D_pad), dtype),
+                       jax.ShapeDtypeStruct((n_blocks_g, np_out), dtype)),
+            interpret=_INTERPRET[0],
+        )(x_prev, x_mid, x_next, w_prev, w_cur, P)
+        scale = 2.0 * g / norm
+        gx = scale * gx_pad[: spec.N_f, : spec.D]
+        gp_full = scale * jnp.sum(gp_parts, axis=0)[:NP]
+        gpest = (gp_full[np.asarray(spec.pidx, np.int32)]
+                 if spec.NPest else jnp.zeros((0,), dtype))
+        return gx, gpest
+
     def _fe_xla(X, pest, rf):
         P = _action.merge_params(spec, pest, X.dtype)
         return _action.model_error(spec, X, P, rf)
@@ -168,13 +269,23 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512) -> Callable:
         return _forward_pallas(X, pest, rf)
 
     def fwd(X, pest, rf):
-        return _forward_pallas(X, pest, rf), (X, pest, rf)
+        out = _forward_pallas(X, pest, rf)
+        return out, (X, pest, rf, out)
 
     def bwd(res, g):
-        X, pest, rf = res
-        gx, gp, grf = jax.grad(_fe_xla, argnums=(0, 1, 2))(X, pest, rf)
-        return (g * gx, g * gp,
-                jax.tree_util.tree_map(lambda a: g * a, grf))
+        X, pest, rf, fe_val = res
+        rf_a = jnp.asarray(rf)
+        if pallas_backward:
+            gx, gpest = _backward_pallas(X, pest, rf, g)
+        else:
+            gx, gpest = jax.grad(_fe_xla, argnums=(0, 1))(X, pest, rf)
+            gx, gpest = g * gx, g * gpest
+        if rf_a.ndim == 0:
+            # FE is linear in a scalar rf: dFE/drf = FE / rf, for free
+            grf = g * fe_val / rf_a
+        else:
+            grf = g * jax.grad(_fe_xla, argnums=2)(X, pest, rf)
+        return gx, gpest, grf
 
     fe.defvjp(fwd, bwd)
     return fe
