@@ -94,11 +94,6 @@ def _tmax_abs(tree):
     return _treduce(jnp.maximum, parts, jnp.zeros(()))
 
 
-def _tmin(tree):
-    parts = _tmap(jnp.min, tree)
-    return _treduce(jnp.minimum, parts, jnp.asarray(jnp.inf))
-
-
 def _axpy(a, x, y):
     """y + a * x elementwise over the tree (a scalar)."""
     return _tmap(lambda u, v: v + a * u, x, y)
