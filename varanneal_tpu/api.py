@@ -69,6 +69,8 @@ def make_lbfgs_options(opt_args: Optional[dict],
         kw["ftol"] = float(opt_args.pop("factr")) * np.finfo(np.float64).eps
     if "ftol" in opt_args:
         kw["ftol"] = float(opt_args.pop("ftol"))
+    if "direction" in opt_args:
+        kw["direction"] = str(opt_args.pop("direction"))
     opt_args.pop("maxfun", None)   # accepted, unused (nfev tracked per solve)
     opt_args.pop("disp", None)
     if opt_args:
