@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--d", type=int, default=None)
     ap.add_argument("--nbeta", type=int, default=None)
     ap.add_argument("--maxiter", type=int, default=300)
+    ap.add_argument("--maxcor", type=int, default=5,
+                    help="L-BFGS history size m (memory: ~2*m*n_dof*B "
+                         "floats — the dominant HBM cost of big sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -49,11 +52,12 @@ def main():
     n_dev = len(jax.devices())
     mesh = ensemble_mesh(n_dev) if n_dev > 1 else None
     dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    mem_gb = 2 * args.maxcor * spec.n_dof * B * np.dtype(dtype).itemsize / 2**30
     print(f"ensemble sweep: D={D}, B={B} inits, {n_beta} betas, "
           f"{n_dev} device(s), dtype={np.dtype(dtype).name}, "
-          f"n_dof={spec.n_dof}")
+          f"n_dof={spec.n_dof}, ~{mem_gb:.1f} GiB history")
 
-    opts = LBFGSOptions(maxiter=args.maxiter,
+    opts = LBFGSOptions(maxiter=args.maxiter, m=args.maxcor,
                         pgtol=1e-8 if dtype == np.float64 else 1e-4,
                         ftol=2.2e-9 if dtype == np.float64 else 1e-6)
     fn = make_ensemble_ladder(action, parts, jnp.arange(n_beta, dtype=dtype),
