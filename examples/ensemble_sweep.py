@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--maxcor", type=int, default=5,
                     help="L-BFGS history size m (memory: ~2*m*n_dof*B "
                          "floats — the dominant HBM cost of big sweeps)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="run the ladder in beta-chunks of this size "
+                         "(shorter device dispatches; 0 = one dispatch)")
     args = ap.parse_args()
 
     import jax
@@ -35,8 +38,7 @@ def main():
     from varanneal_tpu.ops import build_spec, make_action
     from varanneal_tpu.opt import LBFGSOptions
     from varanneal_tpu.parallel import (
-        make_ensemble_ladder, ensemble_mesh, shard_batch,
-        random_ensemble_inits)
+        ensemble_mesh, shard_batch, random_ensemble_inits)
 
     D = args.d or (20 if args.small else 400)
     B = args.ninit or (32 if args.small else 1024)
@@ -60,17 +62,44 @@ def main():
     opts = LBFGSOptions(maxiter=args.maxiter, m=args.maxcor,
                         pgtol=1e-8 if dtype == np.float64 else 1e-4,
                         ftol=2.2e-9 if dtype == np.float64 else 1e-6)
-    fn = make_ensemble_ladder(action, parts, jnp.arange(n_beta, dtype=dtype),
-                              dtype(4e-6 * tw["RM"]), 1.5, opts=opts,
-                              store_paths=False, mesh=mesh)
+    rf0 = dtype(4e-6 * tw["RM"])
+    betas_all = np.arange(n_beta, dtype=dtype)
+    chunk = args.chunk or n_beta
+
+    from varanneal_tpu.anneal import run_ladder
+
+    # betas are a TRACED argument so every equal-length chunk shares one
+    # compile (short device dispatches; warm-started carry across chunks)
+    ladder_chunk = jax.jit(jax.vmap(
+        lambda xp, bc: run_ladder(action, parts, xp, bc, rf0, 1.5,
+                                  opts=opts, store_paths=False),
+        in_axes=(0, None)))
+
+    def run_all(xp):
+        A_parts, me_parts, fe_parts, nfev_parts = [], [], [], []
+        for lo in range(0, n_beta, chunk):
+            bc = jnp.asarray(betas_all[lo: lo + chunk])
+            r = ladder_chunk(xp, bc)
+            jax.block_until_ready(r.A)
+            xp = r.XP
+            A_parts.append(np.asarray(r.A))
+            me_parts.append(np.asarray(r.ME))
+            fe_parts.append(np.asarray(r.FE))
+            nfev_parts.append(np.asarray(r.nfev))
+        class R:  # minimal result bundle
+            A = np.concatenate(A_parts, axis=1)
+            ME = np.concatenate(me_parts, axis=1)
+            FE = np.concatenate(fe_parts, axis=1)
+            nfev = np.concatenate(nfev_parts, axis=1)
+            XP = xp
+        return R
+
     xp0 = random_ensemble_inits(spec, B, seed=12, dtype=dtype)
     xp0 = shard_batch(xp0, mesh) if mesh is not None else jnp.asarray(xp0)
 
-    res = fn(xp0)                      # compile + run
-    jax.block_until_ready(res.A)
+    res = run_all(xp0)                 # compile + run
     t0 = time.time()
-    res = fn(xp0)
-    jax.block_until_ready(res.A)
+    res = run_all(xp0)
     t1 = time.time()
 
     A = np.asarray(res.A)              # (B, n_beta)
