@@ -23,34 +23,14 @@ def main():
 
     import varanneal_tpu
     from varanneal_tpu.models import nakl, NAKL_P_TRUE, NAKL_PNAMES
-    from varanneal_tpu.twin import rk4_path
+    from varanneal_tpu.twin import nakl_twin
 
     dt = 0.04            # ms
     N = 751 if args.small else 3001     # 30 ms / 120 ms windows
     n_beta = 40 if args.small else 81
-    t = dt * np.arange(N)
-    rng = np.random.default_rng(7)
-
-    # injected current: smoothed random steps, the usual twin-experiment
-    # driving that keeps the neuron spiking irregularly
-    seg = 150            # 6 ms current steps
-    steps = rng.uniform(0.0, 35.0, size=N // seg + 2)
-    stim = np.interp(np.arange(N), np.arange(len(steps)) * seg, steps)
-
-    def f_np(tt, x, p):
-        import varanneal_tpu.models as m
-        return np.asarray(m.nakl(tt, x, p))
-
-    # integrate the truth 10x finer than the data grid and subsample, so
-    # the data is a near-exact ODE solution (otherwise the integrator's own
-    # O(dt^3+) error sets a floor under the model-error term)
-    sub = 10
-    stim_f = np.interp(np.arange(N * sub) / sub, np.arange(N), stim)
-    x0 = np.array([-65.0, 0.1, 0.6, 0.3])
-    traj = rk4_path(f_np, x0, dt / sub, (N - 1) * sub,
-                    np.asarray(NAKL_P_TRUE), stim=stim_f[:, None])[::sub]
-    sigma = 1.0
-    V_data = traj[:, 0:1] + sigma * rng.normal(size=(N, 1))
+    tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7)
+    traj, V_data, stim, t = tw["traj"], tw["V"], tw["stim"], tw["t"]
+    sigma = tw["sigma"]
     print(f"NaKL: N={N}, dt={dt} ms, V-only data (sigma={sigma} mV), "
           f"{int((np.diff(np.sign(traj[:, 0] + 20)) > 0).sum())} spikes")
 
