@@ -16,6 +16,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--maxiter", type=int, default=5000)
+    ap.add_argument("--bipolar", action="store_true",
+                    help="bipolar injected current (-25..+60): probes the "
+                         "I-V curve over a wider V range, improving "
+                         "conductance identifiability")
     args = ap.parse_args()
 
     import jax
@@ -28,7 +32,11 @@ def main():
     dt = 0.04            # ms
     N = 751 if args.small else 3001     # 30 ms / 120 ms windows
     n_beta = 40 if args.small else 81
-    tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7)
+    if args.bipolar:
+        tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7, seg=75,
+                       i_min=-25.0, i_max=60.0)
+    else:
+        tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7)
     traj, V_data, stim, t = tw["traj"], tw["V"], tw["stim"], tw["t"]
     sigma = tw["sigma"]
     print(f"NaKL: N={N}, dt={dt} ms, V-only data (sigma={sigma} mV), "

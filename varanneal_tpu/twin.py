@@ -106,16 +106,20 @@ def lorenz96_twin(D=20, N_data=161, dt=0.025, F=8.17, sigma=0.5,
 
 
 def nakl_twin(N=3001, dt=0.04, sigma=1.0, seed=7, seg=150, i_max=35.0,
-              sub=10):
+              i_min=0.0, sub=10):
     """NaKL twin data (BASELINE config #3): random-step injected current,
     truth integrated ``sub``x finer than the data grid and subsampled so
     the data is a near-exact ODE solution. Returns dict(traj, V, stim, t).
+
+    ``i_min < 0`` gives a bipolar drive that probes the I–V curve across a
+    wider voltage range — measured to improve gNa/gL identifiability (the
+    unipolar problem has a near-degenerate conductance/reversal manifold).
     """
     from varanneal_tpu.models import NAKL_P_TRUE
 
     rng = np.random.default_rng(seed)
     t = dt * np.arange(N)
-    steps = rng.uniform(0.0, i_max, size=N // seg + 2)
+    steps = rng.uniform(i_min, i_max, size=N // seg + 2)
     stim = np.interp(np.arange(N), np.arange(len(steps)) * seg, steps)
     stim_f = np.interp(np.arange(N * sub) / sub, np.arange(N), stim)
     p = np.asarray(NAKL_P_TRUE)
