@@ -29,11 +29,14 @@ def _f_at(spec: ProblemSpec, X, P, sl):
     Handles time-dependent parameters (rows of P aligned with the grid) and
     the stimulus convention f(t, x, (p, stim)).
     """
-    t = spec.t_f[sl]
+    import jax.numpy as jnp
     x = X[sl]
+    # cast grid/stimulus closure constants to the state dtype so an f32
+    # decision path stays f32 even when x64 is enabled globally
+    t = jnp.asarray(spec.t_f, x.dtype)[sl]
     p = P[sl] if spec.time_dep_p else P
     if spec.stim_f is not None:
-        return spec.f(t, x, (p, spec.stim_f[sl]))
+        return spec.f(t, x, (p, jnp.asarray(spec.stim_f, x.dtype)[sl]))
     return spec.f(t, x, p)
 
 
