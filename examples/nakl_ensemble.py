@@ -9,9 +9,20 @@ working recipe (this script):
 2. an f32 ensemble of random gate/parameter initializations, annealed on
    device with CHUNKED dispatches (long single dispatches crash some TPU
    runtimes — and chunking also bounds preemption loss);
-3. f64 polish of the lowest-action members (deep inner solves).
+3. f64 polish of the lowest-action members (deep inner solves), runnable
+   in a separate (CPU) process from the saved phase-1 state.
 
-Run:  python examples/nakl_ensemble.py [--small] [--ninit B] [--chunk K]
+Two-process workflow:
+
+    # phase 1 on the TPU
+    python examples/nakl_ensemble.py --ninit 64 --no-polish --save ens.npz
+    # phase 2 wherever f64 is fast (CPU)
+    JAX_PLATFORMS=cpu python examples/nakl_ensemble.py --load ens.npz \
+        --polish-top 3
+
+``--all-params`` estimates all 19 NaKL parameters with wide bounds
+(Kostuk/Toth-style); default estimates the 5 conductances/reversals
+[gNa, ENa, gK, EK, gL].
 """
 
 import argparse
@@ -20,15 +31,65 @@ import time
 
 import numpy as np
 
+# Wide per-parameter bounds for the full 19-parameter estimation
+# (order = NAKL_PNAMES; truth well inside every box).
+PBOUNDS_ALL = [
+    (0.5, 3.0),      # Cm
+    (50., 200.),     # gNa
+    (20., 80.),      # ENa
+    (5., 60.),       # gK
+    (-100., -50.),   # EK
+    (0.05, 1.0),     # gL
+    (-75., -40.),    # EL
+    (-60., -20.),    # vm
+    (5., 30.),       # dvm
+    (0.05, 1.0),     # tm0
+    (0.1, 2.0),      # tm1
+    (-80., -40.),    # vh
+    (-30., -5.),     # dvh
+    (0.1, 5.0),      # th0
+    (1., 15.),       # th1
+    (-75., -35.),    # vn
+    (10., 50.),      # dvn
+    (0.1, 5.0),      # tn0
+    (1., 15.),       # tn1
+]
+STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
+
+
+def chunked_ladder(run, xp, betas, chunk, tag=""):
+    """Drive ``run(xp, beta_chunk) -> LadderResult`` over β in short
+    dispatches; returns (final xp, A concatenated over β)."""
+    import jax
+    A_parts = []
+    n = len(betas)
+    for i0 in range(0, n, chunk):
+        t0 = time.time()
+        r = run(xp, betas[i0: i0 + chunk])
+        jax.block_until_ready(r.A)
+        xp = r.XP
+        A_parts.append(np.asarray(r.A))
+        print(f"  {tag}β[{i0}:{min(i0 + chunk, n)}] "
+              f"{time.time() - t0:.1f}s  A={A_parts[-1][..., -1].min():.4g}",
+              flush=True)
+    return xp, np.concatenate(A_parts, axis=-1)
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--ninit", type=int, default=16)
+    ap.add_argument("--ninit", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--maxiter", type=int, default=400)
     ap.add_argument("--polish-maxiter", type=int, default=4000)
+    ap.add_argument("--polish-top", type=int, default=3)
     ap.add_argument("--no-polish", action="store_true")
+    ap.add_argument("--all-params", action="store_true")
+    ap.add_argument("--save", type=str, default=None,
+                    help="save phase-1 ensemble state to this .npz")
+    ap.add_argument("--load", type=str, default=None,
+                    help="skip phase 1; load ensemble state from this .npz")
+    ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -43,20 +104,25 @@ def main():
     from varanneal_tpu.api import build_bounds
     from varanneal_tpu import diag
 
-    N = 751 if args.small else 3001
-    n_beta = 41 if args.small else 61
-    dt = 0.04
+    if args.load:
+        saved = np.load(args.load)
+        N = int(saved["N"]); n_beta = int(saved["n_beta"])
+        dt = float(saved["dt"]); seed = int(saved["seed"])
+        all_params = bool(saved["all_params"])
+    else:
+        N = 751 if args.small else 3001
+        n_beta = 41 if args.small else 61
+        dt = 0.04
+        seed = args.seed
+        all_params = args.all_params
+
     tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7, seg=75,
                    i_min=-25.0, i_max=60.0)
     traj, V, stim, t = tw["traj"], tw["V"], tw["stim"], tw["t"]
-    print(f"NaKL ensemble: N={N}, B={args.ninit}, "
-          f"{int((np.diff(np.sign(traj[:, 0] + 20)) > 0).sum())} spikes, "
-          f"bipolar drive")
 
-    Pidx = [1, 2, 3, 4, 5]
-    bounds = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.),
-              (50., 200.), (20., 80.), (5., 60.), (-100., -50.),
-              (0.05, 1.0)]
+    Pidx = list(range(19)) if all_params else [1, 2, 3, 4, 5]
+    pbounds = [PBOUNDS_ALL[j] for j in Pidx]
+    bounds = STATE_BOUNDS + pbounds
 
     def make_problem(dtype):
         spec = build_spec(nakl, 4, V.astype(dtype), t, [0], 1.0,
@@ -66,65 +132,96 @@ def main():
         lo, hi = build_bounds(spec, bounds, dtype)
         return spec, action, parts, lo, hi
 
-    # ---- phase 1: f32 ensemble, chunked --------------------------------
     spec, action, parts, lo, hi = make_problem(np.float32)
-    rng = np.random.default_rng(3)
-    N_f = spec.N_f
-    V_f = np.interp(np.arange(N_f) / 2.0, np.arange(N), V[:, 0])
-    xp0s = []
-    for _ in range(args.ninit):
-        X0 = np.column_stack([V_f] + [rng.uniform(0, 1, N_f)
-                                      for _ in range(3)])
-        pe = [rng.uniform(*bounds[4 + j]) for j in range(5)]
-        xp0s.append(np.concatenate([X0.ravel(), pe]).astype(np.float32))
-    xp = jnp.asarray(np.stack(xp0s))
-
-    opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4, ftol=1e-6)
     betas_all = np.arange(n_beta, dtype=np.float32)
-    lad = jax.jit(jax.vmap(
-        lambda z, bc: run_ladder(action, parts, z, bc, np.float32(1e-5),
-                                 1.6, lower=lo, upper=hi, opts=opts,
-                                 store_paths=False), in_axes=(0, None)))
-    t0 = time.time()
-    A_parts = []
-    for i0 in range(0, n_beta, args.chunk):
-        r = lad(xp, jnp.asarray(betas_all[i0: i0 + args.chunk]))
-        jax.block_until_ready(r.A)
-        xp = r.XP
-        A_parts.append(np.asarray(r.A))
-    A = np.concatenate(A_parts, axis=1)
-    print(f"phase-1 ensemble: {time.time() - t0:.1f}s "
-          f"(incl. compile)")
+
+    if args.load:
+        xp_np = saved["xp"]; A = saved["A"]
+        B = xp_np.shape[0]
+        print(f"loaded {args.load}: B={B}, N={N}, "
+              f"{'19' if all_params else '5'}-param")
+    else:
+        B = args.ninit
+        print(f"NaKL ensemble: N={N}, B={B}, "
+              f"{int((np.diff(np.sign(traj[:, 0] + 20)) > 0).sum())} spikes, "
+              f"bipolar drive, {'19' if all_params else '5'}-param",
+              flush=True)
+        # ---- phase 1: f32 ensemble, chunked -----------------------------
+        rng = np.random.default_rng(seed)
+        N_f = spec.N_f
+        V_f = np.interp(np.arange(N_f) / 2.0, np.arange(N), V[:, 0])
+        xp0s = []
+        for _ in range(B):
+            X0 = np.column_stack([V_f] + [rng.uniform(0, 1, N_f)
+                                          for _ in range(3)])
+            pe = [rng.uniform(*b) for b in pbounds]
+            xp0s.append(np.concatenate([X0.ravel(), pe]).astype(np.float32))
+        xp = jnp.asarray(np.stack(xp0s))
+
+        opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4, ftol=1e-6)
+        lad = jax.jit(jax.vmap(
+            lambda z, bc: run_ladder(action, parts, z, bc, np.float32(1e-5),
+                                     1.6, lower=lo, upper=hi, opts=opts,
+                                     store_paths=False), in_axes=(0, None)))
+        t0 = time.time()
+        xp, A = chunked_ladder(lambda z, bc: lad(z, jnp.asarray(bc)),
+                               xp, betas_all, args.chunk, tag="p1 ")
+        print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
+        xp_np = np.asarray(xp)
+        if args.save:
+            np.savez(args.save, xp=xp_np, A=A, N=N, n_beta=n_beta, dt=dt,
+                     seed=seed, all_params=all_params)
+            print(f"saved phase-1 state -> {args.save}")
+
     lv = diag.action_levels(A[:, -1], rel_gap=0.02)
     print("action levels:", np.array2string(lv.levels[:5], precision=1),
           "counts:", lv.counts[:5])
 
-    best = int(lv.best_members[0])
-    XPb = np.asarray(xp)[best].astype(np.float64)
+    def report(XPb, label):
+        p_est = XPb[spec.n_state:]
+        print(f"{label} estimated vs truth:")
+        for j, pi in enumerate(Pidx):
+            tr = NAKL_P_TRUE[pi]
+            print(f"  {NAKL_PNAMES[pi]:>4}: est {p_est[j]:9.4f}   "
+                  f"truth {tr:9.4f}   ({100 * (p_est[j] - tr) / tr:+.1f}%)")
+        V_est = XPb[: spec.n_state].reshape(spec.N_f, 4)[::2, 0]
+        print(f"  V RMSE vs truth: "
+              f"{np.sqrt(np.mean((V_est - traj[:, 0]) ** 2)):.3f} mV",
+              flush=True)
 
-    # ---- phase 2: f64 polish of the best member ------------------------
-    if not args.no_polish:
-        spec64, action64, parts64, lo64, hi64 = make_problem(np.float64)
-        opts64 = LBFGSOptions(maxiter=args.polish_maxiter, pgtol=1e-10,
-                              ftol=1e-14)
-        pol = jax.jit(lambda z, b: run_ladder(
-            action64, parts64, z, b, 1e-5, 1.6, lower=lo64, upper=hi64,
-            opts=opts64, store_paths=False))
+    order = np.argsort(A[:, -1])
+    report(np.asarray(xp_np)[order[0]].astype(np.float64), "phase-1 best")
+
+    # ---- phase 2: f64 polish of the lowest-action members ---------------
+    if args.no_polish:
+        return 0
+    spec64, action64, parts64, lo64, hi64 = make_problem(np.float64)
+    opts64 = LBFGSOptions(maxiter=args.polish_maxiter, pgtol=1e-10,
+                          ftol=1e-14)
+    pol = jax.jit(lambda z, b: run_ladder(
+        action64, parts64, z, b, 1e-5, 1.6, lower=lo64, upper=hi64,
+        opts=opts64, store_paths=False))
+    pol_betas = np.arange(float(n_beta - 21), float(n_beta + 10))
+    results = []
+    for k in order[: args.polish_top]:
         t1 = time.time()
-        res = pol(jnp.asarray(XPb),
-                  jnp.arange(float(n_beta - 21), float(n_beta + 10)))
-        jax.block_until_ready(res.A)
-        print(f"phase-2 polish: {time.time() - t1:.1f}s")
-        XPb = np.asarray(res.XP)
-
-    p_est = XPb[spec.n_state:]
-    print("estimated vs truth:")
-    for j, pi in enumerate(Pidx):
-        print(f"  {NAKL_PNAMES[pi]:>4}: est {p_est[j]:9.4f}   "
-              f"truth {NAKL_P_TRUE[pi]:9.4f}")
-    V_est = XPb[: spec.n_state].reshape(spec.N_f, 4)[::2, 0]
-    print(f"V RMSE vs truth: "
-          f"{np.sqrt(np.mean((V_est - traj[:, 0]) ** 2)):.3f} mV")
+        XPk, Ak = chunked_ladder(pol, jnp.asarray(xp_np[k], np.float64),
+                                 pol_betas, max(args.chunk, 4),
+                                 tag=f"pol[{k}] ")
+        XPk = np.asarray(XPk)
+        print(f"polish member {k}: {time.time() - t1:.1f}s  "
+              f"A {A[k, -1]:.5g} -> {Ak[-1]:.5g}")
+        results.append((float(Ak[-1]), int(k), XPk))
+        report(XPk, f"member {k}")
+    results.sort()
+    Abest, kbest, XPbest = results[0]
+    print(f"\n=== final estimate: member {kbest}, polished A={Abest:.6g} ===")
+    report(XPbest, "FINAL")
+    if args.save:
+        out = args.save.replace(".npz", "_polished.npz")
+        np.savez(out, XP=XPbest, member=kbest, A=Abest,
+                 candidates=np.asarray([r[1] for r in results]))
+        print(f"saved polished estimate -> {out}")
     return 0
 
 
