@@ -86,3 +86,32 @@ def test_random_inits_init_to_data():
         np.testing.assert_array_equal(
             X[b][obs[:, None], np.asarray(spec.Lidx)[None, :]],
             np.asarray(spec.Y))
+
+
+def test_random_inits_vectorized_matches_pack():
+    """The batched init builder must agree with an explicit per-member
+    pack() of the same sampled states."""
+    from varanneal_tpu.ops.action import pack
+    spec = _tiny_problem(seed=3)
+    B = 5
+    xp0 = random_ensemble_inits(spec, B, seed=9, init_to_data=True)
+    rng = np.random.default_rng(9)
+    X0 = rng.uniform(-10.0, 10.0, size=(B, spec.N_f, spec.D))
+    obs = np.arange(spec.N_data) * spec.obs_stride
+    X0[:, obs[:, None], np.asarray(spec.Lidx)[None, :]] = spec.Y
+    for b in range(B):
+        np.testing.assert_array_equal(
+            xp0[b], np.asarray(pack(spec, jnp.asarray(X0[b]))))
+
+
+def test_random_inits_custom_samplers():
+    spec = _tiny_problem(seed=3)
+    B = 3
+    xp0 = random_ensemble_inits(
+        spec, B, seed=1, init_to_data=False,
+        state_sampler=lambda r, s: np.full(s, 2.5),
+        param_sampler=lambda r, s: np.arange(np.prod(s)).reshape(s) * 1.0)
+    np.testing.assert_array_equal(xp0[:, :spec.n_state], 2.5)
+    np.testing.assert_array_equal(
+        xp0[:, spec.n_state:],
+        np.arange(B * spec.n_par).reshape(B, spec.n_par))

@@ -96,3 +96,47 @@ def test_matrix_RM_full_ladder():
                opt_args=dict(maxiter=60))
     assert np.all(np.isfinite(ann.A_array))
     assert ann.exitflags.max() <= 2
+
+
+def test_canonical_R_ambiguity_warning():
+    """When N == K a 2-D R is ambiguous: default warns and reads
+    time-dependent; time_dependent=True/False silences and selects."""
+    import warnings
+    from varanneal_tpu.ops.spec import canonical_R
+
+    R = np.arange(1.0, 10.0).reshape(3, 3)
+    with pytest.warns(UserWarning, match="time-dependent"):
+        out = canonical_R(R, 3, 3, "RM")
+    np.testing.assert_array_equal(out, R)          # (N, K) reading
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out_t = canonical_R(R, 3, 3, "RM", time_dependent=True)
+        out_m = canonical_R(R, 3, 3, "RM", time_dependent=False)
+    np.testing.assert_array_equal(out_t, R)
+    assert out_m.shape == (3, 3, 3)                # (K, K) tiled over time
+    np.testing.assert_array_equal(out_m[1], R)
+
+    # unambiguous shapes never warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        canonical_R(R[:2], 2, 3, "RM")
+
+
+def test_facade_R_time_dependent_kwarg():
+    """R_time_dependent plumbs through anneal() for RM and RF0."""
+    t, Y, rng = _data(D=3, N=3, L=3)
+    ann = varanneal_tpu.Annealer()
+    ann.set_model(lorenz96, 3)
+    ann.set_data(Y, t=t)
+    X0 = rng.uniform(-5, 5, size=(3, 3))
+    RM = np.full((3, 3), 4.0)                      # ambiguous: N == L == 3
+    with pytest.warns(UserWarning, match="RM"):
+        ann.anneal(X0, np.array([6.0]), 1.7, np.arange(2), RM, 1e-4,
+                   [0, 1, 2], Pidx=[0], opt_args=dict(maxiter=5))
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ann.anneal(X0, np.array([6.0]), 1.7, np.arange(2), RM, 1e-4,
+                   [0, 1, 2], Pidx=[0], opt_args=dict(maxiter=5),
+                   R_time_dependent=True)

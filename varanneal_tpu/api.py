@@ -172,7 +172,7 @@ class Annealer:
                disc="trapezoid", method="L-BFGS-B", bounds=None,
                opt_args=None, adolcID=0, dtype=None, track_paths=True,
                verbose=False, checkpoint_path=None, checkpoint_every=10,
-               resume=True):
+               resume=True, R_time_dependent=None):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -180,7 +180,10 @@ class Annealer:
         ``dtype`` (default f64 when x64 is on), ``track_paths`` (store all
         per-β minimizers; disable for huge problems), ``verbose``;
         ``checkpoint_path``/``checkpoint_every``/``resume``: per-chunk
-        checkpointing of the ladder to an .npz (see anneal/checkpoint.py).
+        checkpointing of the ladder to an .npz (see anneal/checkpoint.py);
+        ``R_time_dependent``: disambiguates 2-D RM/RF0 when the time and
+        component dimensions coincide (True = (N, K) per-time diagonal,
+        False = (K, K) matrix; default warns and reads time-dependent).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -194,7 +197,8 @@ class Annealer:
         P0 = np.asarray(P0, dtype=np.float64)
         spec = build_spec(
             self.f, self.D, self.data, self.t_data, Lidx, RM, disc=disc,
-            P=P0, pidx=Pidx, stim=self.stim, dt_model=dt_model)
+            P=P0, pidx=Pidx, stim=self.stim, dt_model=dt_model,
+            R_time_dependent=R_time_dependent)
         self.spec = spec
 
         # ---- initial path on the model grid --------------------------
@@ -216,7 +220,8 @@ class Annealer:
 
         XP0 = np.asarray(pack(spec, jnp.asarray(X0)), dtype=dtype)
 
-        rf0 = canonical_R(RF0, spec.N_f - 1, spec.D, "RF0").astype(dtype)
+        rf0 = canonical_R(RF0, spec.N_f - 1, spec.D, "RF0",
+                          time_dependent=R_time_dependent).astype(dtype)
         lower, upper = build_bounds(spec, bounds, dtype)
         opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)

@@ -93,7 +93,7 @@ def _insert_midpoints(A: np.ndarray) -> np.ndarray:
     return out
 
 
-def canonical_R(R, N: int, K: int, name: str):
+def canonical_R(R, N: int, K: int, name: str, time_dependent=None):
     """Expand a user R (RM or RF0) to canonical form.
 
     Accepted inputs (reference accepts the same zoo — SURVEY.md §2 'RM, RF0
@@ -104,15 +104,35 @@ def canonical_R(R, N: int, K: int, name: str):
       (K, K)            -> (N, K, K) tiled over time
       (N, K)            -> as-is
       (N, K, K)         -> as-is
+
+    ``time_dependent`` disambiguates the N == K case where a 2-D R could be
+    either a per-time diagonal (N, K) or a full matrix (K, K): True forces
+    the time-dependent reading, False the matrix reading, None (default)
+    keeps the time-dependent reading but emits a UserWarning.
     """
     R = np.asarray(R, dtype=np.float64)
     if R.ndim == 0:
         return R
     if R.shape == (K,):
         return np.tile(R[None, :], (N, 1))
-    # NOTE: when N == K, (N, K) and (K, K) are ambiguous; the time-dependent
-    # reading wins (matches the reference's shape-check order,
-    # ``varanneal/va_ode.py :: Annealer.me_gaussian`` [M]).
+    # When N == K, (N, K) and (K, K) are ambiguous; the time-dependent
+    # reading wins by default (matches the reference's shape-check order,
+    # ``varanneal/va_ode.py :: Annealer.me_gaussian`` [M]) — warn unless the
+    # caller disambiguated via ``time_dependent``.
+    if R.ndim == 2 and N == K and R.shape == (N, K):
+        if time_dependent is None:
+            import warnings
+            warnings.warn(
+                f"{name} has shape {R.shape} with N == K == {N}: "
+                "interpreting as time-dependent per-component (N, K) "
+                "weights, NOT a full (K, K) precision matrix. Pass "
+                "R_time_dependent=True/False (or canonical_R("
+                "time_dependent=...)) to silence this warning.",
+                UserWarning, stacklevel=2)
+            time_dependent = True
+        if not time_dependent:
+            return np.tile(R[None, :, :], (N, 1, 1))
+        return R
     if R.shape == (N, K):
         return R
     if R.shape == (N, K, K):
@@ -137,6 +157,7 @@ def build_spec(
     pidx=None,
     stim: np.ndarray = None,
     dt_model: float = None,
+    R_time_dependent=None,
 ) -> ProblemSpec:
     """Assemble a ProblemSpec from user-facing inputs.
 
@@ -207,7 +228,8 @@ def build_spec(
                 f"{N_base} or {N_f}")
         stim_f = stim
 
-    RM = canonical_R(RM, N_data, len(Lidx), "RM")
+    RM = canonical_R(RM, N_data, len(Lidx), "RM",
+                     time_dependent=R_time_dependent)
 
     return ProblemSpec(
         f=f, D=int(D), N_data=N_data, N_f=N_f, disc=disc, dt=dt, t_f=t_f,

@@ -21,7 +21,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from varanneal_tpu.opt.lbfgs import LBFGSOptions
 from varanneal_tpu.anneal.ladder import run_ladder
-from varanneal_tpu.ops.action import pack
 from varanneal_tpu.ops.spec import ProblemSpec
 
 
@@ -73,17 +72,46 @@ def shard_batch(x, mesh: Mesh, axis: str = "ens"):
 
 def random_ensemble_inits(spec: ProblemSpec, n_members: int, seed: int = 0,
                           lo: float = -10.0, hi: float = 10.0,
-                          init_to_data: bool = True, dtype=np.float64):
+                          init_to_data: bool = True, dtype=np.float64,
+                          state_sampler=None, param_sampler=None):
     """Reference-style ensemble initialization: uniform random paths with
     observed components optionally clamped to the data, shared P_base
-    initial parameters. Returns (B, n_dof)."""
+    initial parameters. Returns (B, n_dof).
+
+    Fully vectorized (one batched pack, no per-member Python loop — matters
+    at B=4096+). Custom init distributions:
+
+    - ``state_sampler(rng, shape)`` -> (B, N_f, D) initial paths
+      (default: uniform on [lo, hi));
+    - ``param_sampler(rng, shape)`` -> (B, n_par) estimated-parameter
+      initials (default: every member starts at P_base's estimated entries).
+    """
     rng = np.random.default_rng(seed)
     B = n_members
-    X0 = rng.uniform(lo, hi, size=(B, spec.N_f, spec.D))
+    sample = state_sampler or (lambda r, shape: r.uniform(lo, hi, shape))
+    X0 = np.asarray(sample(rng, (B, spec.N_f, spec.D)), dtype=np.float64)
+    if X0.shape != (B, spec.N_f, spec.D):
+        raise ValueError(
+            f"state_sampler returned {X0.shape}, expected "
+            f"{(B, spec.N_f, spec.D)}")
     if init_to_data:
         obs = np.arange(spec.N_data) * spec.obs_stride
         X0[:, obs[:, None], np.asarray(spec.Lidx)[None, :]] = spec.Y
-    out = np.empty((B, spec.n_dof), dtype=dtype)
-    for b in range(B):
-        out[b] = np.asarray(pack(spec, jnp.asarray(X0[b])))
-    return out
+    parts = [X0.reshape(B, spec.n_state)]
+    if spec.n_par:
+        if param_sampler is not None:
+            pe = np.asarray(param_sampler(rng, (B, spec.n_par)),
+                            dtype=np.float64)
+            if pe.shape != (B, spec.n_par):
+                raise ValueError(
+                    f"param_sampler returned {pe.shape}, expected "
+                    f"{(B, spec.n_par)}")
+        else:
+            P = np.asarray(spec.P_base)
+            pcols = np.asarray(spec.pidx)
+            base = (P[:, pcols].reshape(-1) if spec.time_dep_p
+                    else P[pcols])
+            pe = np.broadcast_to(base, (B, spec.n_par))
+        parts.append(pe)
+    return np.concatenate(parts, axis=1).astype(dtype) if len(parts) > 1 \
+        else parts[0].astype(dtype)
