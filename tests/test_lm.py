@@ -23,6 +23,12 @@ def _spec(disc="trapezoid", rm_kind="scalar", seed=0, N_data=21, D=6):
                       P=np.array([8.0]), pidx=[0]), rng
 
 
+def _spd(rng, N, K, scale=1.0):
+    """Batch of random SPD matrices (N, K, K)."""
+    M = rng.normal(size=(N, K, K))
+    return scale * (M @ np.swapaxes(M, 1, 2) + K * np.eye(K))
+
+
 def test_residual_norm_equals_action():
     for disc in ("euler", "trapezoid", "SimpsonHermite", "forwardmap"):
         for rm_kind in ("scalar", "diag"):
@@ -37,6 +43,55 @@ def test_residual_norm_equals_action():
                 np.testing.assert_allclose(
                     float(jnp.vdot(r, r)), float(action(XP, rf)),
                     rtol=1e-12)
+
+
+def test_residual_norm_equals_action_matrix_R():
+    """Matrix RM and matrix RF fold into the residual via Cholesky: the
+    ||r||^2 identity must hold for every disc."""
+    from varanneal_tpu.models import lorenz96 as l96
+    for disc in ("trapezoid", "SimpsonHermite"):
+        rng = np.random.default_rng(11)
+        N_data, D, L = 13, 6, 3
+        t = 0.025 * np.arange(N_data)
+        Y = rng.normal(size=(N_data, L))
+        RM = _spd(rng, N_data, L)
+        spec = build_spec(l96, D, Y, t, [0, 2, 4], RM, disc=disc,
+                          P=np.array([8.0]), pidx=[0])
+        residual = make_residual_fn(spec)
+        action, _ = make_action(spec)
+        XP = jnp.asarray(rng.normal(size=spec.n_dof))
+        rf = jnp.asarray(_spd(rng, spec.N_f - 1, D, scale=1e-3))
+        r = residual(XP, rf)
+        np.testing.assert_allclose(
+            float(jnp.vdot(r, r)), float(action(XP, rf)), rtol=1e-10)
+
+
+def test_lm_ladder_matrix_R():
+    """method='LM' runs a ladder with a full matrix RM (previously raised)."""
+    from varanneal_tpu.models import lorenz96 as l96
+    rng = np.random.default_rng(12)
+    N_data, D = 15, 6
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    RM = _spd(rng, N_data, 3)
+    spec = build_spec(l96, D, Y, t, [0, 2, 4], RM, disc="trapezoid",
+                      P=np.array([8.0]), pidx=[0])
+    action, parts = make_action(spec)
+    residual = make_residual_fn(spec)
+    xp0 = jnp.asarray(random_ensemble_inits(spec, 1, seed=4)[0])
+    betas = jnp.arange(5.0)
+    r_lm = jax.jit(lambda z: run_ladder(
+        action, parts, z, betas, 1e-3, 1.8, inner="lm",
+        residual_fn=residual,
+        lm_opts=LMOptions(maxiter=60, cg_iters=25, pgtol=1e-9),
+        store_paths=False))(xp0)
+    r_lb = jax.jit(lambda z: run_ladder(
+        action, parts, z, betas, 1e-3, 1.8,
+        opts=LBFGSOptions(maxiter=1500, pgtol=1e-9),
+        store_paths=False))(xp0)
+    A_lm, A_lb = np.asarray(r_lm.A), np.asarray(r_lb.A)
+    assert np.all(np.isfinite(A_lm))
+    assert np.all(np.abs(A_lm - A_lb) / A_lb < 0.1), (A_lm, A_lb)
 
 
 def test_lm_converges_on_rosenbrock_ls():

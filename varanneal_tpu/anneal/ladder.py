@@ -45,7 +45,8 @@ class LadderResult(NamedTuple):
 def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
                store_paths: bool = True, inner: str = "lbfgs",
-               residual_fn=None, lm_opts=None) -> LadderResult:
+               residual_fn=None, lm_opts=None,
+               tnc_opts=None) -> LadderResult:
     """Run the full annealing ladder from initial decision vector ``XP0``.
 
     ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
@@ -56,7 +57,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
 
     ``inner``: 'lbfgs' (default), 'lm' — the matrix-free Gauss–Newton /
     Levenberg–Marquardt solver (``opt/lm.py``, requires
-    ``residual_fn(XP, rf)``) — or 'ncg' (nonlinear conjugate gradient,
+    ``residual_fn(XP, rf)``) — 'tnc' (truncated Newton-CG with bound
+    projection, ``opt/tnc.py``), or 'ncg' (nonlinear conjugate gradient,
     unbounded only).
     """
     opts = opts or LBFGSOptions()
@@ -77,6 +79,12 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
         from varanneal_tpu.opt.ncg import ncg_minimize, NCGOptions
         ncg_opts = NCGOptions(maxiter=opts.maxiter, ftol=opts.ftol,
                               pgtol=opts.pgtol, maxls=opts.maxls)
+    elif inner == "tnc":
+        from varanneal_tpu.opt.tnc import tnc_minimize, TNCOptions
+        tnc_opts = tnc_opts or TNCOptions(maxiter=opts.maxiter,
+                                          ftol=opts.ftol,
+                                          pgtol=opts.pgtol,
+                                          maxls=opts.maxls)
     elif inner != "lbfgs":
         raise ValueError(f"unknown inner solver {inner!r}")
 
@@ -87,6 +95,9 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                               lower=lower, upper=upper, opts=lm_opts)
         elif inner == "ncg":
             res = ncg_minimize(lambda z: vag(z, rf), XP, opts=ncg_opts)
+        elif inner == "tnc":
+            res = tnc_minimize(lambda z: vag(z, rf), XP,
+                               lower=lower, upper=upper, opts=tnc_opts)
         else:
             res = lbfgs_minimize(lambda z: vag(z, rf), XP,
                                  lower=lower, upper=upper, opts=opts)

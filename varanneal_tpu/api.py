@@ -12,9 +12,10 @@ Compatibility notes (pinned decisions, reference mount empty):
 - ``adolcID`` is accepted and ignored — there is no global tape registry to
   namespace; ensembles are vmapped instead (``parallel/ensemble.py``).
 - ``method`` accepts 'L-BFGS-B' (device-side bounded L-BFGS, default),
-  'LM'/'GN' (matrix-free Levenberg-Marquardt / Gauss-Newton) and 'CG'/'NCG'
+  'TNC' (truncated Newton-CG with bound projection), 'LM'/'GN'
+  (matrix-free Levenberg-Marquardt / Gauss-Newton) and 'CG'/'NCG'
   (nonlinear conjugate gradient, unbounded) — covering and exceeding the
-  reference's secondary SciPy methods [M]. TNC is not implemented.
+  reference's secondary SciPy methods [M].
 - exit flags are mapped to SciPy-like codes: 0 converged (pgtol or ftol),
   1 maxiter exhausted, 2 line-search failure.
 """
@@ -189,7 +190,8 @@ class Annealer:
             raise RuntimeError("call set_model and set_data before anneal")
         if action != "A_gaussian":
             raise ValueError("only action='A_gaussian' is supported")
-        if method not in ("L-BFGS-B", "LBFGS", "LM", "GN", "CG", "NCG"):
+        if method not in ("L-BFGS-B", "LBFGS", "LM", "GN", "CG", "NCG",
+                          "TNC"):
             raise ValueError(f"unsupported method {method!r}")
         del adolcID  # no tape registry; kept for signature compatibility
         dtype = dtype or _default_dtype()
@@ -223,19 +225,29 @@ class Annealer:
         rf0 = canonical_R(RF0, spec.N_f - 1, spec.D, "RF0",
                           time_dependent=R_time_dependent).astype(dtype)
         lower, upper = build_bounds(spec, bounds, dtype)
+        opt_args = dict(opt_args or {})
+        cg_iters = opt_args.pop("cg_iters", None)  # LM/TNC inner-CG depth
         opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)
 
         act, parts = make_action(spec)
-        inner, residual_fn, lm_opts = "lbfgs", None, None
+        inner, residual_fn, lm_opts, tnc_opts = "lbfgs", None, None, None
         if method in ("LM", "GN"):
             from varanneal_tpu.opt.lm import make_residual_fn, LMOptions
             inner = "lm"
             residual_fn = make_residual_fn(spec)
+            lm_kw = {} if cg_iters is None else dict(cg_iters=int(cg_iters))
             lm_opts = LMOptions(maxiter=opts.maxiter,
-                                ftol=opts.ftol, pgtol=opts.pgtol)
+                                ftol=opts.ftol, pgtol=opts.pgtol, **lm_kw)
         elif method in ("CG", "NCG"):
             inner = "ncg"
+        elif method == "TNC":
+            from varanneal_tpu.opt.tnc import TNCOptions
+            inner = "tnc"
+            tnc_kw = {} if cg_iters is None else dict(cg_iters=int(cg_iters))
+            tnc_opts = TNCOptions(maxiter=opts.maxiter, ftol=opts.ftol,
+                                  pgtol=opts.pgtol, maxls=opts.maxls,
+                                  **tnc_kw)
 
         t0 = time.time()
         if checkpoint_path is not None:
@@ -246,14 +258,16 @@ class Annealer:
                 ckpt_path=checkpoint_path, save_every=checkpoint_every,
                 lower=lower, upper=upper, opts=opts,
                 store_paths=track_paths, resume=resume, verbose=verbose,
-                inner=inner, residual_fn=residual_fn, lm_opts=lm_opts)
+                inner=inner, residual_fn=residual_fn, lm_opts=lm_opts,
+                tnc_opts=tnc_opts)
         else:
             @jax.jit
             def _ladder(XP0, betas):
                 return run_ladder(act, parts, XP0, betas, rf0, float(alpha),
                                   lower=lower, upper=upper, opts=opts,
                                   store_paths=track_paths, inner=inner,
-                                  residual_fn=residual_fn, lm_opts=lm_opts)
+                                  residual_fn=residual_fn, lm_opts=lm_opts,
+                                  tnc_opts=tnc_opts)
 
             res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)

@@ -171,8 +171,9 @@ def lm_minimize(residual_fn, x0, *, lower=None, upper=None,
 def make_residual_fn(spec):
     """Weighted flat residual ``residual(XP, rf) -> (n_res,)`` for a
     ProblemSpec: A(XP, rf) = ||residual(XP, rf)||² equals the Gaussian
-    action. Scalar or canonical (N, K)-diagonal RM/rf only (matrix forms
-    would need Cholesky factors).
+    action. Supports the full canonical R zoo: scalar, (N, K) diagonal, and
+    (N, K, K) matrix precision — matrix R is folded in via its Cholesky
+    factor (d·R·d = ||Cᵀd||² with R = C Cᵀ, so R must be SPD).
     """
     import numpy as np
     from varanneal_tpu.ops.action import unpack
@@ -180,30 +181,48 @@ def make_residual_fn(spec):
 
     RM = np.asarray(spec.RM)
     if RM.ndim == 3:
-        raise ValueError("GN/LM path supports scalar or diagonal RM only")
-    me_w = np.sqrt(RM / (spec.L * spec.N_data))
+        # static: factor once on the host
+        me_C = np.linalg.cholesky(RM / (spec.L * spec.N_data))
+    else:
+        me_w = np.sqrt(RM / (spec.L * spec.N_data))
+
+    def _rows(C, d):
+        """(Cᵀ d)_nl = Σ_k C[n,k,l] d[n,k] — per-time-row whitening."""
+        return jnp.einsum("nkl,nk->nl", C, d)
 
     def residual(XP, rf_val):
         X, P = unpack(spec, XP)
         x_obs = X[:: spec.obs_stride][: spec.N_data,
                                       np.asarray(spec.Lidx, np.int32)]
-        r_me = (jnp.asarray(me_w, XP.dtype)
-                * (x_obs - jnp.asarray(spec.Y, XP.dtype))).ravel()
+        diff = x_obs - jnp.asarray(spec.Y, XP.dtype)
+        if RM.ndim == 3:
+            r_me = _rows(jnp.asarray(me_C, XP.dtype), diff).ravel()
+        else:
+            r_me = (jnp.asarray(me_w, XP.dtype) * diff).ravel()
         rf_val = jnp.asarray(rf_val, XP.dtype)
+        norm = spec.D * (spec.N_f - 1)
         if rf_val.ndim == 3:
-            raise ValueError("GN/LM path supports scalar or diagonal RF")
-        fe_w = jnp.sqrt(rf_val / (spec.D * (spec.N_f - 1)))
+            # rf is traced (rf0·α^β): factor on device, batched over rows
+            fe_C = jnp.linalg.cholesky(rf_val / norm)
+        else:
+            fe_w = jnp.sqrt(rf_val / norm)
         res = model_residuals(spec, X, P)
         if spec.disc == "SimpsonHermite":
             simpson, hermite = res
             M = (spec.N_f - 1) // 2
-            if fe_w.ndim == 0:
+            if rf_val.ndim == 3:
+                r_fe = jnp.concatenate(
+                    [_rows(fe_C[: 2 * M: 2], simpson).ravel(),
+                     _rows(fe_C[1: 2 * M: 2], hermite).ravel()])
+            elif fe_w.ndim == 0:
                 r_fe = jnp.concatenate([(fe_w * simpson).ravel(),
                                         (fe_w * hermite).ravel()])
             else:
                 r_fe = jnp.concatenate(
                     [(fe_w[: 2 * M: 2] * simpson).ravel(),
                      (fe_w[1: 2 * M: 2] * hermite).ravel()])
+        elif rf_val.ndim == 3:
+            r_fe = _rows(fe_C, res).ravel()
         else:
             r_fe = (fe_w * res).ravel()
         return jnp.concatenate([r_me, r_fe])
