@@ -166,11 +166,14 @@ class Annealer:
     def anneal(self, alpha, beta_array, RM, RF0, *, W0=None, b0=None,
                X0=None, clamp_input=False, bounds_W=None, opt_args=None,
                adolcID=0, dtype=None, track_paths=True, seed=0,
-               init_scale=0.1):
+               init_scale=0.1, checkpoint_path=None, checkpoint_every=10,
+               resume=True):
         """Run the ladder. RM: scalar or (RM_in, RM_out) pair; RF0: scalar
         or per-layer (L-1,). W0/b0/X0: optional initial weights/biases/
         activations (defaults: Gaussian init_scale weights, zero biases,
-        activations forward-propagated from the inputs)."""
+        activations forward-propagated from the inputs).
+        ``checkpoint_path``/``checkpoint_every``/``resume``: per-chunk
+        ladder checkpointing to an .npz (anneal/checkpoint.py)."""
         if self.structure is None or self.U is None or self.Y is None:
             raise RuntimeError(
                 "call set_structure / set_input_data / set_output_data first")
@@ -237,13 +240,22 @@ class Annealer:
             lower = np.asarray(pack(lo_t))
             upper = np.asarray(pack(hi_t))
 
-        @jax.jit
-        def _ladder(xp0, bs):
-            return run_ladder(action, parts, xp0, bs, rf0, float(alpha),
-                              lower=lower, upper=upper, opts=opts,
-                              store_paths=track_paths)
+        if checkpoint_path is not None:
+            from varanneal_tpu.anneal.checkpoint import \
+                run_ladder_checkpointed
+            res = run_ladder_checkpointed(
+                action, parts, jnp.asarray(XP0, dtype), betas, rf0,
+                float(alpha), ckpt_path=checkpoint_path,
+                save_every=checkpoint_every, lower=lower, upper=upper,
+                opts=opts, store_paths=track_paths, resume=resume)
+        else:
+            @jax.jit
+            def _ladder(xp0, bs):
+                return run_ladder(action, parts, xp0, bs, rf0, float(alpha),
+                                  lower=lower, upper=upper, opts=opts,
+                                  store_paths=track_paths)
 
-        res = _ladder(jnp.asarray(XP0, dtype), jnp.asarray(betas))
+            res = _ladder(jnp.asarray(XP0, dtype), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)
 
         self.beta_array = np.asarray(beta_array)
