@@ -90,6 +90,11 @@ def main():
     ap.add_argument("--load", type=str, default=None,
                     help="skip phase 1; load ensemble state from this .npz")
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--algo", type=str, default="subspace",
+                    choices=["subspace", "projection"],
+                    help="bounded L-BFGS algorithm (subspace = full "
+                         "L-BFGS-B with GCP; converges far faster on the "
+                         "bound-active NaKL gates)")
     args = ap.parse_args()
 
     import jax
@@ -158,7 +163,8 @@ def main():
             xp0s.append(np.concatenate([X0.ravel(), pe]).astype(np.float32))
         xp = jnp.asarray(np.stack(xp0s))
 
-        opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4, ftol=1e-6)
+        opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
+                            ftol=1e-6, bounded_algo=args.algo)
         lad = jax.jit(jax.vmap(
             lambda z, bc: run_ladder(action, parts, z, bc, np.float32(1e-5),
                                      1.6, lower=lo, upper=hi, opts=opts,
@@ -197,7 +203,7 @@ def main():
         return 0
     spec64, action64, parts64, lo64, hi64 = make_problem(np.float64)
     opts64 = LBFGSOptions(maxiter=args.polish_maxiter, pgtol=1e-10,
-                          ftol=1e-14)
+                          ftol=1e-14, bounded_algo=args.algo)
     pol = jax.jit(lambda z, b: run_ladder(
         action64, parts64, z, b, 1e-5, 1.6, lower=lo64, upper=hi64,
         opts=opts64, store_paths=False))
@@ -217,8 +223,9 @@ def main():
     Abest, kbest, XPbest = results[0]
     print(f"\n=== final estimate: member {kbest}, polished A={Abest:.6g} ===")
     report(XPbest, "FINAL")
-    if args.save:
-        out = args.save.replace(".npz", "_polished.npz")
+    base = args.save or args.load
+    if base:
+        out = base.replace(".npz", "_polished.npz")
         np.savez(out, XP=XPbest, member=kbest, A=Abest,
                  candidates=np.asarray([r[1] for r in results]))
         print(f"saved polished estimate -> {out}")

@@ -72,6 +72,8 @@ def make_lbfgs_options(opt_args: Optional[dict],
         kw["ftol"] = float(opt_args.pop("ftol"))
     if "direction" in opt_args:
         kw["direction"] = str(opt_args.pop("direction"))
+    if "bounded_algo" in opt_args:
+        kw["bounded_algo"] = str(opt_args.pop("bounded_algo"))
     opt_args.pop("maxfun", None)   # accepted, unused (nfev tracked per solve)
     opt_args.pop("disp", None)
     if opt_args:

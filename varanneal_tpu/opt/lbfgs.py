@@ -55,6 +55,11 @@ class LBFGSOptions:
     # matvecs + (m,m) triangular solves — low launch latency, the TPU
     # default) or 'two_loop' (classic 2m-step sequential recursion)
     direction: str = "compact"
+    # bound handling: 'projection' (active-set freezing + projected-path
+    # Armijo — robust default) or 'subspace' (full L-BFGS-B: generalized
+    # Cauchy point + free-subspace direct solve, opt/lbfgsb.py; flat 1-D
+    # decision vectors only)
+    bounded_algo: str = "projection"
 
 
 class LBFGSResult(NamedTuple):
@@ -470,6 +475,17 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     dtype = leaves[0].dtype
     m = opts.m
     bounded = (lower is not None) or (upper is not None)  # static
+    if bounded and opts.bounded_algo == "subspace":
+        if len(leaves) != 1 or leaves[0].ndim != 1:
+            raise ValueError(
+                "bounded_algo='subspace' requires a flat 1-D decision "
+                "vector (pytrees keep the projection solver)")
+        from varanneal_tpu.opt.lbfgsb import lbfgsb_minimize
+        return lbfgsb_minimize(
+            value_and_grad, leaves[0],
+            lower=None if lower is None else jtu.tree_leaves(lower)[0],
+            upper=None if upper is None else jtu.tree_leaves(upper)[0],
+            opts=opts)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     lower = (_tmap(lambda l: jnp.full(l.shape, -big, dtype), x0)
              if lower is None
