@@ -83,6 +83,84 @@ def test_action_pallas_full_parity():
     np.testing.assert_allclose(g2, g1, rtol=1e-12)
 
 
+@pytest.mark.parametrize("rf_kind", ["scalar", "diag"])
+def test_fe_kernel_simpson_hermite(rf_kind):
+    """SH (config #2's disc): interval-blocked kernel, value + grad parity
+    vs the oracle-pinned XLA path, uneven interval blocks included."""
+    spec, rng = _spec(disc="SimpsonHermite", N_data=23)   # M=22 intervals
+    assert fe_supported(spec, 1.0)
+    fe = make_fe_pallas(spec, block_n=8)
+    X = jnp.asarray(rng.normal(size=(spec.N_f, spec.D)))
+    pest = jnp.asarray([7.5])
+    if rf_kind == "scalar":
+        rf = jnp.asarray(3e-3)
+    else:
+        rf = jnp.asarray(rng.uniform(0.5, 2.0,
+                                     size=(spec.N_f - 1, spec.D)))
+
+    from varanneal_tpu.ops.action import merge_params, model_error
+    ref = model_error(spec, X, merge_params(spec, pest, X.dtype), rf)
+    got = fe(X, pest, rf)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-12)
+
+    g_ref = jax.grad(lambda x, p: model_error(
+        spec, x, merge_params(spec, p, x.dtype), rf), argnums=(0, 1))(
+        X, pest)
+    g_got = jax.grad(lambda x, p: fe(x, p, rf), argnums=(0, 1))(X, pest)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_ref[0]),
+                               rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=1e-11, atol=1e-14)
+
+
+@pytest.mark.parametrize("disc", ["trapezoid", "SimpsonHermite"])
+def test_fe_kernel_stimulus_nakl(disc):
+    """Stimulus-driven f (NaKL, config #3): the kernel passes the injected
+    current blocks alongside the state views."""
+    from varanneal_tpu.models import nakl, NAKL_P_TRUE
+    from varanneal_tpu.twin import nakl_twin
+    # N=34, not 33: jaxlib 0.9.0's CPU backend has a heap-corrupting bug
+    # in the f64 gradient of this model at exactly N_f=33 (verified
+    # pallas-free; any other size is fine)
+    tw = nakl_twin(N=34, dt=0.04, sigma=1.0, seed=7, seg=8)
+    spec = build_spec(nakl, 4, tw["V"], tw["t"], [0], 1.0, disc=disc,
+                      P=np.asarray(NAKL_P_TRUE), pidx=[1, 2, 3, 4, 5],
+                      stim=tw["stim"])
+    assert fe_supported(spec, 1.0)
+    rng = np.random.default_rng(3)
+    fe = make_fe_pallas(spec, block_n=8)
+    X = jnp.asarray(rng.normal(size=(spec.N_f, spec.D)))
+    pest = jnp.asarray([110.0, 45.0, 22.0, -70.0, 0.4])
+    for rf in (jnp.asarray(2e-3),
+               jnp.asarray(rng.uniform(0.5, 2.0,
+                                       size=(spec.N_f - 1, spec.D)))):
+        from varanneal_tpu.ops.action import merge_params, model_error
+        ref = model_error(spec, X, merge_params(spec, pest, X.dtype), rf)
+        got = fe(X, pest, rf)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-11)
+        g_ref = jax.grad(lambda x, p: model_error(
+            spec, x, merge_params(spec, p, x.dtype), rf),
+            argnums=(0, 1))(X, pest)
+        g_got = jax.grad(lambda x, p: fe(x, p, rf), argnums=(0, 1))(
+            X, pest)
+        np.testing.assert_allclose(np.asarray(g_got[0]),
+                                   np.asarray(g_ref[0]),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_got[1]),
+                                   np.asarray(g_ref[1]),
+                                   rtol=1e-10, atol=1e-12)
+
+
 def test_fe_unsupported_fallback():
-    spec, _ = _spec(disc="SimpsonHermite")
+    """Time-dependent parameters stay on the XLA path."""
+    rng = np.random.default_rng(0)
+    N = 9
+    t = 0.025 * np.arange(N)
+    Y = rng.normal(size=(N, 3))
+    spec = build_spec(lorenz96, 6, Y, t, [0, 2, 4], 4.0,
+                      disc="trapezoid", P=np.full((N, 1), 8.0), pidx=[0])
     assert not fe_supported(spec, 1.0)
+    # full-matrix rf excluded too
+    spec2, _ = _spec()
+    assert not fe_supported(
+        spec2, np.tile(np.eye(spec2.D), (spec2.N_f - 1, 1, 1)))

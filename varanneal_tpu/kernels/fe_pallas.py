@@ -11,26 +11,31 @@ residual/f arrays in HBM.
 
 Kernel shape (the Mosaic-friendly design, learned the hard way):
 
-- the one-row stencil halo is expressed as TWO standard-blocked inputs —
-  the shifted views X[:-1] and X[1:] — instead of manual halo DMA
-  (unaligned HBM->VMEM slices violate the 128-lane tiling rule, and manual
-  DMA forfeits Mosaic's automatic double-buffered pipelining);
+- stencil halos are expressed as standard-blocked SHIFTED VIEWS — X[:-1]
+  and X[1:] for the one-step discs; the strided even/mid/even triplet for
+  Hermite–Simpson — instead of manual halo DMA (unaligned HBM->VMEM slices
+  violate the 128-lane tiling rule, and manual DMA forfeits Mosaic's
+  automatic double-buffered pipelining);
 - arrays are lane-padded to the 128 tile outside; compute value-slices back
   to the real D columns;
 - per-block partial sums land in a full-array SMEM output, one row per
-  grid step (per-block (1,1) blocking violates the block-shape rule).
+  grid step (per-block (1,1) blocking violates the block-shape rule);
+- boundary/padding masking is encoded in ZERO WEIGHT ROWS (or an iota
+  valid-mask for the scalar-rf fast path) — no data-dependent branching.
 
-Scope (v1): euler/trapezoid/forwardmap discretizations, scalar or
-(N_f-1, D)-diagonal rf, time-independent parameters, no stimulus. The
-general path (``ops.action.model_error``) remains the fallback; use
-:func:`fe_supported` to test eligibility. Gradients: custom_vjp with the
-backward pass expressed in plain JAX (XLA-fused); a Pallas backward is the
-next optimization step.
+Scope (v2): ALL four discretizations including SimpsonHermite, scalar or
+canonical (N_f-1, D)-diagonal rf, stimulus-driven f (the reference's
+``f(t, x, (p, stim))`` convention — NaKL config #3 is eligible), fused
+Pallas backward for every disc. Remaining exclusions, falling back to the
+general XLA path (``ops.action.model_error``): time-dependent parameters,
+full-matrix rf, and f with EXPLICIT t dependence (the kernel passes t=0;
+the built-in models are autonomous — drive enters via the stimulus). Use
+:func:`fe_supported` to test eligibility.
 
 Correctness is tested in interpreter mode on CPU against the oracle-pinned
 XLA path (tests/test_pallas.py) and re-verified on real TPU hardware; the
 kernel must win a real-TPU benchmark against the XLA path before being
-preferred (bench.py with BENCH_PALLAS=1).
+preferred (bench.py with BENCH_PALLAS=1; PARITY.md perf table).
 """
 
 import functools
@@ -54,45 +59,79 @@ def set_interpret(flag: bool):
 
 
 def fe_supported(spec: ProblemSpec, rf) -> bool:
-    """Is the fused Pallas FE kernel applicable to this problem?"""
+    """Is the fused Pallas FE kernel applicable to this problem?
+
+    Caveat the predicate cannot see: f must not depend EXPLICITLY on t
+    (the kernel evaluates f at t=0; stimulus-driven forcing is supported
+    and is how the reference's driven systems enter — SURVEY.md §2)."""
     rf = np.asarray(rf)
-    return (spec.disc in ("euler", "trapezoid", "forwardmap")
-            and spec.stim_f is None
+    return (spec.disc in ("euler", "trapezoid", "forwardmap",
+                          "SimpsonHermite")
             and not spec.time_dep_p
             and rf.ndim in (0, 2))
 
 
-def _block_residual(spec: ProblemSpec, x_n, x_np1, p):
-    """Discretization residual rows given the two shifted state blocks."""
+def _call_f(spec, x, p, s):
+    t = jnp.zeros((x.shape[0],), x.dtype)
+    if s is None:
+        return spec.f(t, x, p)
+    return spec.f(t, x, (p, s))
+
+
+def _block_residual(spec: ProblemSpec, x_n, x_np1, p, s_n=None, s_np1=None):
+    """One-step discretization residual rows from the two shifted blocks."""
     h = spec.dt
-    # t is unused by the built-in autonomous models; pass zeros (the
-    # general XLA path handles explicitly time-dependent f)
-    t = jnp.zeros((x_n.shape[0],), x_n.dtype)
-    fn = spec.f(t, x_n, p)
+    fn = _call_f(spec, x_n, p, s_n)
     if spec.disc == "trapezoid":
-        fnp1 = spec.f(t, x_np1, p)
+        fnp1 = _call_f(spec, x_np1, p, s_np1)
         return x_np1 - x_n - (h / 2.0) * (fn + fnp1)
     if spec.disc == "euler":
         return x_np1 - x_n - h * fn
     return x_np1 - fn          # forwardmap
 
 
-def _kern_scalar(spec, block_n, x0_ref, x1_ref, p_ref, rf_ref, out_ref):
+def _sh_residuals(spec, xe0, xm, xe1, p, se0=None, sm=None, se1=None):
+    """Hermite–Simpson residual pair on one block of intervals
+    [pinned-by-oracle, ops/disc.py formulas]."""
+    h = spec.dt
+    f0 = _call_f(spec, xe0, p, se0)
+    fm = _call_f(spec, xm, p, sm)
+    f1 = _call_f(spec, xe1, p, se1)
+    simpson = xe1 - xe0 - (h / 6.0) * (f0 + 4.0 * fm + f1)
+    hermite = xm - 0.5 * (xe0 + xe1) - (h / 8.0) * (f0 - f1)
+    return simpson, hermite, (f0, fm, f1)
+
+
+# ---------------------------------------------------------------------------
+# one-step discretizations (euler / trapezoid / forwardmap)
+# ---------------------------------------------------------------------------
+
+def _kern_scalar(spec, block_n, has_stim, *refs):
+    if has_stim:
+        x0_ref, x1_ref, s0_ref, s1_ref, p_ref, rf_ref, out_ref = refs
+        s0, s1 = s0_ref[...], s1_ref[...]
+    else:
+        x0_ref, x1_ref, p_ref, rf_ref, out_ref = refs
+        s0 = s1 = None
     i = pl.program_id(0)
-    x_n = x0_ref[:, : spec.D]
-    x_np1 = x1_ref[:, : spec.D]
-    r = _block_residual(spec, x_n, x_np1, p_ref[0])
+    r = _block_residual(spec, x0_ref[:, : spec.D], x1_ref[:, : spec.D],
+                        p_ref[0], s0, s1)
     row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
              < spec.N_f - 1).astype(r.dtype)
     out_ref[i, 0] = rf_ref[0, 0] * jnp.sum(valid * r * r)
 
 
-def _kern_diag(spec, block_n, x0_ref, x1_ref, p_ref, rf_ref, out_ref):
+def _kern_diag(spec, block_n, has_stim, *refs):
+    if has_stim:
+        x0_ref, x1_ref, s0_ref, s1_ref, p_ref, rf_ref, out_ref = refs
+        s0, s1 = s0_ref[...], s1_ref[...]
+    else:
+        x0_ref, x1_ref, p_ref, rf_ref, out_ref = refs
+        s0 = s1 = None
     i = pl.program_id(0)
-    x_n = x0_ref[:, : spec.D]
-    x_np1 = x1_ref[:, : spec.D]
-    r = _block_residual(spec, x_n, x_np1, p_ref[0])
+    r = _block_residual(spec, x0_ref[:, : spec.D], x1_ref[:, : spec.D],
+                        p_ref[0], s0, s1)
     row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
              < spec.N_f - 1).astype(r.dtype)
@@ -112,14 +151,20 @@ def _disc_coeffs(spec: ProblemSpec):
     return 0.0, 0.0, 1.0   # forwardmap
 
 
-def _kern_bwd(spec, block_n, NP,
-              xprev_ref, xmid_ref, xnext_ref, wprev_ref, wcur_ref, p_ref,
-              gx_ref, gp_ref):
+def _kern_bwd(spec, block_n, NP, has_stim, *refs):
     """Backward block: gradient rows m in [i*B, (i+1)*B).
 
     Inputs are shifted views so row j of the block sees x_{m-1}, x_m,
     x_{m+1} and the weight rows w_{m-1}, w_m (zero rows encode the
     boundary / padding, so no explicit masks are needed)."""
+    if has_stim:
+        (xprev_ref, xmid_ref, xnext_ref, sprev_ref, smid_ref, snext_ref,
+         wprev_ref, wcur_ref, p_ref, gx_ref, gp_ref) = refs
+        s_prev, s_mid, s_next = sprev_ref[...], smid_ref[...], snext_ref[...]
+    else:
+        (xprev_ref, xmid_ref, xnext_ref, wprev_ref, wcur_ref, p_ref,
+         gx_ref, gp_ref) = refs
+        s_prev = s_mid = s_next = None
     i = pl.program_id(0)
     D = spec.D
     a1, c0, c1 = _disc_coeffs(spec)
@@ -130,12 +175,13 @@ def _kern_bwd(spec, block_n, NP,
     w_cur = wcur_ref[:, :D]
     p = p_ref[0]
 
-    wr_prev = w_prev * _block_residual(spec, x_prev, x_mid, p)
-    wr_cur = w_cur * _block_residual(spec, x_mid, x_next, p)
+    wr_prev = w_prev * _block_residual(spec, x_prev, x_mid, p, s_prev,
+                                       s_mid)
+    wr_cur = w_cur * _block_residual(spec, x_mid, x_next, p, s_mid, s_next)
     v = c0 * wr_prev + c1 * wr_cur
 
-    t = jnp.zeros((x_mid.shape[0],), x_mid.dtype)
-    _, f_vjp = jax.vjp(lambda xx, pp: spec.f(t, xx, pp), x_mid, p)
+    _, f_vjp = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, s_mid),
+                       x_mid, p)
     xbar, pbar = f_vjp(v)
 
     gx = wr_prev - a1 * wr_cur - xbar
@@ -145,15 +191,110 @@ def _kern_bwd(spec, block_n, NP,
         gp_ref[i, j] = -pbar[j]
 
 
+# ---------------------------------------------------------------------------
+# Hermite–Simpson (interval-blocked: even/mid/even views)
+# ---------------------------------------------------------------------------
+
+def _kern_sh_fwd(spec, has_stim, *refs):
+    """Forward SH block: partial sum of ws⊙S² + wh⊙H² over the block's
+    intervals. Zero weight rows encode padding — no valid mask needed."""
+    if has_stim:
+        (xe0_ref, xm_ref, xe1_ref, se0_ref, sm_ref, se1_ref,
+         ws_ref, wh_ref, p_ref, out_ref) = refs
+        se0, sm, se1 = se0_ref[...], sm_ref[...], se1_ref[...]
+    else:
+        (xe0_ref, xm_ref, xe1_ref, ws_ref, wh_ref, p_ref, out_ref) = refs
+        se0 = sm = se1 = None
+    i = pl.program_id(0)
+    D = spec.D
+    S, H, _ = _sh_residuals(spec, xe0_ref[:, :D], xm_ref[:, :D],
+                            xe1_ref[:, :D], p_ref[0], se0, sm, se1)
+    out_ref[i, 0] = (jnp.sum(ws_ref[:, :D] * S * S)
+                     + jnp.sum(wh_ref[:, :D] * H * H))
+
+
+def _kern_sh_bwd(spec, NP, has_stim, *refs):
+    """Backward SH block: per-interval gradient triplet (g_e0, g_m, g_e1)
+    and the parameter-gradient partial row. The caller recombines the
+    overlapping even-node contributions (g_even[j] = g_e1[j-1] + g_e0[j])
+    with one shift-add outside the kernel — no in-kernel scatter.
+
+    Adjoint (hand-derived from ops/disc.py; WS = ws⊙S, WH = wh⊙H):
+        g_e0 = −WS − WH/2 + J0ᵀ v0,   v0 = −(h/6) WS − (h/8) WH
+        g_m  =  WH        + Jmᵀ vm,   vm = −(4h/6) WS
+        g_e1 =  WS − WH/2 + J1ᵀ v1,   v1 = −(h/6) WS + (h/8) WH
+        gp   = Σ (J0pᵀ v0 + Jmpᵀ vm + J1pᵀ v1)
+    (outer factor 2/norm applied by the caller)."""
+    if has_stim:
+        (xe0_ref, xm_ref, xe1_ref, se0_ref, sm_ref, se1_ref,
+         ws_ref, wh_ref, p_ref, ge0_ref, gm_ref, ge1_ref, gp_ref) = refs
+        se0, sm, se1 = se0_ref[...], sm_ref[...], se1_ref[...]
+    else:
+        (xe0_ref, xm_ref, xe1_ref, ws_ref, wh_ref, p_ref,
+         ge0_ref, gm_ref, ge1_ref, gp_ref) = refs
+        se0 = sm = se1 = None
+    i = pl.program_id(0)
+    D = spec.D
+    h = spec.dt
+    p = p_ref[0]
+    xe0, xm, xe1 = xe0_ref[:, :D], xm_ref[:, :D], xe1_ref[:, :D]
+    S, H, _ = _sh_residuals(spec, xe0, xm, xe1, p, se0, sm, se1)
+    WS = ws_ref[:, :D] * S
+    WH = wh_ref[:, :D] * H
+    v0 = -(h / 6.0) * WS - (h / 8.0) * WH
+    vm = -(4.0 * h / 6.0) * WS
+    v1 = -(h / 6.0) * WS + (h / 8.0) * WH
+
+    _, vjp0 = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, se0), xe0, p)
+    _, vjpm = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, sm), xm, p)
+    _, vjp1 = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, se1), xe1, p)
+    x0b, p0b = vjp0(v0)
+    xmb, pmb = vjpm(vm)
+    x1b, p1b = vjp1(v1)
+
+    ge0 = -WS - 0.5 * WH + x0b
+    gm = WH + xmb
+    ge1 = WS - 0.5 * WH + x1b
+    ge0_ref[:, :D] = ge0
+    ge0_ref[:, D:] = jnp.zeros_like(ge0_ref[:, D:])
+    gm_ref[:, :D] = gm
+    gm_ref[:, D:] = jnp.zeros_like(gm_ref[:, D:])
+    ge1_ref[:, :D] = ge1
+    ge1_ref[:, D:] = jnp.zeros_like(ge1_ref[:, D:])
+    for j in range(NP):
+        gp_ref[i, j] = p0b[j] + pmb[j] + p1b[j]
+
+
 def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
                    pallas_backward: bool = True) -> Callable:
     """Build ``fe(X, pest, rf) -> scalar`` with a fused Pallas forward and a
     fused Pallas backward (custom_vjp). ``rf``: scalar or (N_f-1, D)."""
+    if spec.disc == "SimpsonHermite":
+        return _make_fe_pallas_sh(spec, block_n, pallas_backward)
+    return _make_fe_pallas_onestep(spec, block_n, pallas_backward)
+
+
+def _stim_views(spec, rows_pad, S_pad, dtype, front_dup=False):
+    """Stimulus padded/lane-tiled to match the shifted state views."""
+    S = np.asarray(spec.stim_f)
+    extra = (rows_pad + 1) - spec.N_f
+    if extra:
+        S = np.concatenate([S, np.repeat(S[-1:], extra, axis=0)], axis=0)
+    S = np.pad(S, ((0, 0), (0, S_pad - S.shape[1])))
+    if front_dup:
+        S = np.concatenate([S[:1], S], axis=0)
+    return jnp.asarray(S, dtype)
+
+
+def _make_fe_pallas_onestep(spec, block_n, pallas_backward):
     n_res = spec.N_f - 1
     block_n = int(min(block_n, max(8, ((n_res + 7) // 8) * 8)))
     n_blocks = -(-n_res // block_n)
     rows_pad = n_blocks * block_n          # rows of the shifted views
     D_pad = max(128, -(-spec.D // 128) * 128)
+    has_stim = spec.stim_f is not None
+    S_w = int(spec.stim_f.shape[1]) if has_stim else 0
+    S_pad = max(128, -(-max(S_w, 1) // 128) * 128)
 
     def _pad(X):
         extra = (rows_pad + 1) - spec.N_f
@@ -165,12 +306,19 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
     norm = spec.D * (spec.N_f - 1)
     xblk = pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((block_n, S_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
 
     def _forward_pallas(X, pest, rf):
         dtype = X.dtype
         P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
         Xp = _pad(X)
         x0, x1 = Xp[:-1], Xp[1:]
+        args, specs = [x0, x1], [xblk, xblk]
+        if has_stim:
+            Sf = _stim_views(spec, rows_pad, S_pad, dtype)
+            args += [Sf[:-1], Sf[1:]]
+            specs += [sblk, sblk]
         rf = jnp.asarray(rf, dtype)
         scalar_rf = rf.ndim == 0
         common = dict(
@@ -182,28 +330,27 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
             interpret=_INTERPRET[0],
         )
         if scalar_rf:
-            kern = functools.partial(_kern_scalar, spec, block_n)
+            kern = functools.partial(_kern_scalar, spec, block_n, has_stim)
             partials = pl.pallas_call(
                 kern,
-                in_specs=[xblk, xblk,
-                          pl.BlockSpec(memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM),
+                                  pl.BlockSpec(memory_space=pltpu.SMEM)],
                 **common,
-            )(x0, x1, P, jnp.reshape(rf, (1, 1)))
+            )(*args, P, jnp.reshape(rf, (1, 1)))
         else:
             pad = rows_pad - n_res
             rf_arr = jnp.concatenate(
                 [rf.astype(dtype), jnp.zeros((pad, spec.D), dtype)], axis=0)
             rf_arr = jnp.pad(rf_arr, ((0, 0), (0, D_pad - spec.D)))
-            kern = functools.partial(_kern_diag, spec, block_n)
+            kern = functools.partial(_kern_diag, spec, block_n, has_stim)
             partials = pl.pallas_call(
                 kern,
-                in_specs=[xblk, xblk,
-                          pl.BlockSpec(memory_space=pltpu.VMEM),
-                          pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM)],
+                in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM),
+                                  pl.BlockSpec((block_n, D_pad),
+                                               lambda i: (i, 0),
+                                               memory_space=pltpu.VMEM)],
                 **common,
-            )(x0, x1, P, rf_arr)
+            )(*args, P, rf_arr)
         return jnp.sum(partials) / norm
 
     # ---------------- backward (fused Pallas adjoint) -------------------
@@ -212,6 +359,8 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
     rows_g = n_blocks_g * block_n
     gblk = pl.BlockSpec((block_n, D_pad), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    gsblk = pl.BlockSpec((block_n, S_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
 
     def _backward_pallas(X, pest, rf, g):
         dtype = X.dtype
@@ -226,6 +375,12 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
         Xb = jnp.pad(Xb, ((0, 0), (0, D_pad - spec.D)))
         Xg = jnp.concatenate([Xb[:1], Xb], axis=0)      # rows_g + 2
         x_prev, x_mid, x_next = Xg[:-2], Xg[1:-1], Xg[2:]
+        args = [x_prev, x_mid, x_next]
+        specs = [gblk, gblk, gblk]
+        if has_stim:
+            Sg = _stim_views(spec, rows_g, S_pad, dtype, front_dup=True)
+            args += [Sg[:-2], Sg[1:-1], Sg[2:]]
+            specs += [gsblk, gsblk, gsblk]
 
         # weight rows: zero row m=-1 boundary + zero padding rows encode
         # all masking
@@ -241,18 +396,18 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
         w_prev, w_cur = W[:-1], W[1:]
 
         np_out = max(NP, 1)
-        kern = functools.partial(_kern_bwd, spec, block_n, NP)
+        kern = functools.partial(_kern_bwd, spec, block_n, NP, has_stim)
         gx_pad, gp_parts = pl.pallas_call(
             kern,
             grid=(n_blocks_g,),
-            in_specs=[gblk, gblk, gblk, gblk, gblk,
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=specs + [gblk, gblk,
+                              pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=(gblk,
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             out_shape=(jax.ShapeDtypeStruct((rows_g, D_pad), dtype),
                        jax.ShapeDtypeStruct((n_blocks_g, np_out), dtype)),
             interpret=_INTERPRET[0],
-        )(x_prev, x_mid, x_next, w_prev, w_cur, P)
+        )(*args, w_prev, w_cur, P)
         scale = 2.0 * g / norm
         gx = scale * gx_pad[: spec.N_f, : spec.D]
         gp_full = scale * jnp.sum(gp_parts, axis=0)[:NP]
@@ -260,6 +415,126 @@ def make_fe_pallas(spec: ProblemSpec, block_n: int = 512,
                  if spec.NPest else jnp.zeros((0,), dtype))
         return gx, gpest
 
+    return _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
+                            pallas_backward)
+
+
+def _make_fe_pallas_sh(spec, block_n, pallas_backward):
+    """Hermite–Simpson: block over the M = (N_f-1)/2 intervals with
+    even/mid/even strided views; zero-weight rows mask padding."""
+    M = (spec.N_f - 1) // 2
+    block_k = int(min(block_n, max(8, ((M + 7) // 8) * 8)))
+    n_blocks = -(-M // block_k)
+    M_pad = n_blocks * block_k
+    D_pad = max(128, -(-spec.D // 128) * 128)
+    has_stim = spec.stim_f is not None
+    S_w = int(spec.stim_f.shape[1]) if has_stim else 0
+    S_pad = max(128, -(-max(S_w, 1) // 128) * 128)
+    norm = spec.D * (spec.N_f - 1)
+    NP = spec.NP
+
+    rows_need = 2 * M_pad + 1
+
+    def _pad_rows(X, width_to):
+        extra = rows_need - X.shape[0]
+        if extra:
+            X = jnp.concatenate(
+                [X, jnp.broadcast_to(X[-1:], (extra,) + X.shape[1:])],
+                axis=0)
+        return jnp.pad(X, ((0, 0), (0, width_to - X.shape[1])))
+
+    def _views(Xp):
+        return Xp[0:-1:2][:M_pad], Xp[1::2][:M_pad], Xp[2::2][:M_pad]
+
+    def _weights(rf, dtype):
+        rf = jnp.asarray(rf, dtype)
+        if rf.ndim == 0:
+            ws = jnp.broadcast_to(rf, (M, spec.D)).astype(dtype)
+            wh = ws
+        else:
+            ws = rf[: 2 * M: 2].astype(dtype)
+            wh = rf[1: 2 * M: 2].astype(dtype)
+
+        def padw(w):
+            w = jnp.concatenate(
+                [w, jnp.zeros((M_pad - M, spec.D), dtype)], axis=0)
+            return jnp.pad(w, ((0, 0), (0, D_pad - spec.D)))
+
+        return padw(ws), padw(wh)
+
+    xblk = pl.BlockSpec((block_k, D_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((block_k, S_pad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+    def _args(X, rf, dtype):
+        Xp = _pad_rows(X, D_pad)
+        xe0, xm, xe1 = _views(Xp)
+        args, specs = [xe0, xm, xe1], [xblk, xblk, xblk]
+        if has_stim:
+            Sp = _pad_rows(jnp.asarray(spec.stim_f, dtype), S_pad)
+            args += list(_views(Sp))
+            specs += [sblk, sblk, sblk]
+        ws, wh = _weights(rf, dtype)
+        args += [ws, wh]
+        specs += [xblk, xblk]
+        return args, specs
+
+    def _forward_pallas(X, pest, rf):
+        dtype = X.dtype
+        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
+        args, specs = _args(X, rf, dtype)
+        kern = functools.partial(_kern_sh_fwd, spec, has_stim)
+        partials = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 1), dtype),
+            interpret=_INTERPRET[0],
+        )(*args, P)
+        return jnp.sum(partials) / norm
+
+    def _backward_pallas(X, pest, rf, g):
+        dtype = X.dtype
+        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
+        args, specs = _args(X, rf, dtype)
+        np_out = max(NP, 1)
+        kern = functools.partial(_kern_sh_bwd, spec, NP, has_stim)
+        ge0, gm, ge1, gp_parts = pl.pallas_call(
+            kern,
+            grid=(n_blocks,),
+            in_specs=specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(xblk, xblk, xblk,
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((n_blocks, np_out), dtype)),
+            interpret=_INTERPRET[0],
+        )(*args, P)
+        scale = 2.0 * g / norm
+        ge0 = ge0[:M, : spec.D]
+        gm = gm[:M, : spec.D]
+        ge1 = ge1[:M, : spec.D]
+        # recombine overlapping even-node contributions with one shift-add
+        zeros = jnp.zeros((1, spec.D), dtype)
+        g_even = (jnp.concatenate([ge0, zeros], axis=0)
+                  + jnp.concatenate([zeros, ge1], axis=0))   # (M+1, D)
+        gx = jnp.zeros((spec.N_f, spec.D), dtype)
+        gx = gx.at[0::2].set(g_even).at[1::2].set(gm)
+        gx = scale * gx
+        gp_full = scale * jnp.sum(gp_parts, axis=0)[:NP]
+        gpest = (gp_full[np.asarray(spec.pidx, np.int32)]
+                 if spec.NPest else jnp.zeros((0,), dtype))
+        return gx, gpest
+
+    return _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
+                            pallas_backward)
+
+
+def _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
+                     pallas_backward):
     def _fe_xla(X, pest, rf):
         P = _action.merge_params(spec, pest, X.dtype)
         return _action.model_error(spec, X, P, rf)
