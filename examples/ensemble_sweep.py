@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="run the ladder in beta-chunks of this size "
                          "(shorter device dispatches; 0 = one dispatch)")
+    ap.add_argument("--once", action="store_true",
+                    help="single timed run (compile included; chunked "
+                         "ladders amortize it) — for very large sweeps")
     args = ap.parse_args()
 
     import jax
@@ -97,14 +100,21 @@ def main():
     xp0 = random_ensemble_inits(spec, B, seed=12, dtype=dtype)
     xp0 = shard_batch(xp0, mesh) if mesh is not None else jnp.asarray(xp0)
 
-    res = run_all(xp0)                 # compile + run
-    t0 = time.time()
-    res = run_all(xp0)
-    t1 = time.time()
+    if args.once:
+        t0 = time.time()
+        res = run_all(xp0)
+        t1 = time.time()
+        tag = "incl. compile"
+    else:
+        res = run_all(xp0)             # compile + run
+        t0 = time.time()
+        res = run_all(xp0)
+        t1 = time.time()
+        tag = "compiled"
 
     A = np.asarray(res.A)              # (B, n_beta)
     final = A[:, -1]
-    print(f"wall {t1 - t0:.2f}s compiled "
+    print(f"wall {t1 - t0:.2f}s {tag} "
           f"({(t1 - t0) / B * 1e3:.2f} ms/init/ladder), "
           f"total action+grad evals {int(np.asarray(res.nfev).sum())}")
     qs = np.percentile(final, [0, 25, 50, 75, 100])
