@@ -30,12 +30,17 @@ def bench_one(fn, args_, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--dims", type=int, nargs="*",
                     default=[20, 128, 256, 400])
+    ap.add_argument("--block", type=int, default=64,
+                    help="kernel time-block rows (VMEM scales with "
+                         "batch x block under vmap)")
     ap.add_argument("--nakl", action="store_true",
                     help="also A/B the NaKL SimpsonHermite config")
+    ap.add_argument("--ladder", action="store_true",
+                    help="also time a real 3-beta mini-ladder per variant")
     args = ap.parse_args()
 
     import jax
@@ -53,24 +58,47 @@ def main():
           f"{'speedup':>8}")
 
     def ab(tag, spec, n_dof):
-        a_x, _ = make_action(spec)
-        a_p, _ = make_action_pallas(spec)
+        a_x, p_x = make_action(spec)
+        a_p, p_p = make_action_pallas(spec, block_n=args.block)
+        a_pf, p_pf = make_action_pallas(spec, block_n=args.block,
+                                        pallas_backward=False)
         rng = np.random.default_rng(0)
         xp = jnp.asarray(rng.normal(size=(B, n_dof)).astype(np.float32))
         rf = jnp.float32(1e-3)
+        variants = {"xla": a_x, "pallas": a_p, "pallas-fwd": a_pf}
         for mode in ("fwd", "fwd+bwd"):
-            if mode == "fwd":
-                f_x = jax.jit(jax.vmap(a_x, in_axes=(0, None)))
-                f_p = jax.jit(jax.vmap(a_p, in_axes=(0, None)))
-            else:
-                f_x = jax.jit(jax.vmap(jax.value_and_grad(a_x),
-                                       in_axes=(0, None)))
-                f_p = jax.jit(jax.vmap(jax.value_and_grad(a_p),
-                                       in_axes=(0, None)))
-            t_x = bench_one(f_x, (xp, rf), iters)
-            t_p = bench_one(f_p, (xp, rf), iters)
-            print(f"{tag:>24} {mode:>8} {t_x * 1e3:9.3f} {t_p * 1e3:10.3f} "
-                  f"{t_x / t_p:8.2f}x", flush=True)
+            ts = {}
+            for name, a in variants.items():
+                if mode == "fwd" and name == "pallas-fwd":
+                    continue
+                f = (jax.vmap(a, in_axes=(0, None)) if mode == "fwd"
+                     else jax.vmap(jax.value_and_grad(a),
+                                   in_axes=(0, None)))
+                ts[name] = bench_one(jax.jit(f), (xp, rf), iters)
+            row = " ".join(f"{n}={t * 1e3:.3f}ms" for n, t in ts.items())
+            sp = ts["xla"] / min(t for n, t in ts.items() if n != "xla")
+            print(f"{tag:>24} {mode:>8}  {row}  best-pallas {sp:.2f}x",
+                  flush=True)
+        if args.ladder:
+            from varanneal_tpu.opt import LBFGSOptions
+            from varanneal_tpu.anneal import run_ladder
+            opts = LBFGSOptions(maxiter=100, m=5, pgtol=1e-4, ftol=1e-6)
+            betas = jnp.arange(3.0, dtype=jnp.float32)
+            for name, (a, p) in {"xla": (a_x, p_x), "pallas": (a_p, p_p),
+                                 "pallas-fwd": (a_pf, p_pf)}.items():
+                lad = jax.jit(jax.vmap(
+                    lambda z, bc, a=a, p=p: run_ladder(
+                        a, p, z, bc, np.float32(1e-4), 1.5, opts=opts,
+                        store_paths=False), in_axes=(0, None)))
+                out = lad(xp, betas)
+                jax.block_until_ready(out.A)
+                t0 = time.perf_counter()
+                out = lad(xp, betas)
+                jax.block_until_ready(out.A)
+                dt_l = time.perf_counter() - t0
+                print(f"{tag:>24} {'ladder':>8}  {name}={dt_l * 1e3:.1f}ms"
+                      f"  (nfev={int(np.asarray(out.nfev).sum())})",
+                      flush=True)
 
     for D in args.dims:
         tw = lorenz96_twin(D=D, N_data=161, n_obs=max(1, D * 2 // 5))

@@ -186,7 +186,8 @@ def _kern_bwd(spec, block_n, NP, has_stim, *refs):
 
     gx = wr_prev - a1 * wr_cur - xbar
     gx_ref[:, :D] = gx
-    gx_ref[:, D:] = jnp.zeros_like(gx_ref[:, D:])
+    if D < gx_ref.shape[-1]:           # static; zero-width writes are
+        gx_ref[:, D:] = jnp.zeros_like(gx_ref[:, D:])  # rejected by Mosaic
     for j in range(NP):
         gp_ref[i, j] = -pbar[j]
 
@@ -256,11 +257,12 @@ def _kern_sh_bwd(spec, NP, has_stim, *refs):
     gm = WH + xmb
     ge1 = WS - 0.5 * WH + x1b
     ge0_ref[:, :D] = ge0
-    ge0_ref[:, D:] = jnp.zeros_like(ge0_ref[:, D:])
     gm_ref[:, :D] = gm
-    gm_ref[:, D:] = jnp.zeros_like(gm_ref[:, D:])
     ge1_ref[:, :D] = ge1
-    ge1_ref[:, D:] = jnp.zeros_like(ge1_ref[:, D:])
+    if D < ge0_ref.shape[-1]:          # static; see _kern_bwd
+        ge0_ref[:, D:] = jnp.zeros_like(ge0_ref[:, D:])
+        gm_ref[:, D:] = jnp.zeros_like(gm_ref[:, D:])
+        ge1_ref[:, D:] = jnp.zeros_like(ge1_ref[:, D:])
     for j in range(NP):
         gp_ref[i, j] = p0b[j] + pmb[j] + p1b[j]
 
@@ -566,11 +568,18 @@ def _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
     return fe
 
 
-def make_action_pallas(spec: ProblemSpec):
+def make_action_pallas(spec: ProblemSpec, block_n: int = 512,
+                       pallas_backward: bool = True):
     """Action with the Pallas FE forward (ME stays in XLA — it is a cheap
     strided gather). Same (action, action_parts) contract as
-    ``ops.action.make_action``; falls back to XLA where unsupported."""
-    fe = make_fe_pallas(spec)
+    ``ops.action.make_action``; falls back to XLA where unsupported.
+
+    VMEM note: under ``vmap`` the batch folds into the kernel block, so
+    per-invocation VMEM scales with batch × block_n — shrink ``block_n``
+    (or set ``pallas_backward=False``: the backward has ~2x the block
+    traffic of the forward) for large vmapped ensembles."""
+    fe = make_fe_pallas(spec, block_n=block_n,
+                        pallas_backward=pallas_backward)
 
     def action_parts(XP, rf):
         X, _ = _action.unpack(spec, XP)
