@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--once", action="store_true",
                     help="single timed run (compile included; chunked "
                          "ladders amortize it) — for very large sweeps")
+    ap.add_argument("--batch-chunk", type=int, default=0,
+                    help="process the ensemble in member-chunks of this "
+                         "size (one chip bounds per-dispatch size; a "
+                         "v5p-8 would shard members across chips instead)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +82,7 @@ def main():
                                   opts=opts, store_paths=False),
         in_axes=(0, None)))
 
-    def run_all(xp):
+    def run_members(xp):
         A_parts, me_parts, fe_parts, nfev_parts = [], [], [], []
         for lo in range(0, n_beta, chunk):
             bc = jnp.asarray(betas_all[lo: lo + chunk])
@@ -89,12 +93,27 @@ def main():
             me_parts.append(np.asarray(r.ME))
             fe_parts.append(np.asarray(r.FE))
             nfev_parts.append(np.asarray(r.nfev))
+        return (np.concatenate(A_parts, axis=1),
+                np.concatenate(me_parts, axis=1),
+                np.concatenate(fe_parts, axis=1),
+                np.concatenate(nfev_parts, axis=1), xp)
+
+    bchunk = args.batch_chunk or B
+
+    def run_all(xp):
+        outs = []
+        for mlo in range(0, B, bchunk):
+            outs.append(run_members(xp[mlo: mlo + bchunk]))
+            if B > bchunk:
+                print(f"  members [{mlo}:{mlo + bchunk}] done", flush=True)
+
         class R:  # minimal result bundle
-            A = np.concatenate(A_parts, axis=1)
-            ME = np.concatenate(me_parts, axis=1)
-            FE = np.concatenate(fe_parts, axis=1)
-            nfev = np.concatenate(nfev_parts, axis=1)
-            XP = xp
+            A = np.concatenate([o[0] for o in outs], axis=0)
+            ME = np.concatenate([o[1] for o in outs], axis=0)
+            FE = np.concatenate([o[2] for o in outs], axis=0)
+            nfev = np.concatenate([o[3] for o in outs], axis=0)
+            XP = (jnp.concatenate([o[4] for o in outs], axis=0)
+                  if len(outs) > 1 else outs[0][4])
         return R
 
     xp0 = random_ensemble_inits(spec, B, seed=12, dtype=dtype)

@@ -95,6 +95,11 @@ def main():
                     help="bounded L-BFGS algorithm (subspace = full "
                          "L-BFGS-B with GCP; converges far faster on the "
                          "bound-active NaKL gates)")
+    ap.add_argument("--gates-random", action="store_true",
+                    help="uniform-random initial gate paths (default: "
+                         "gates slaved to the data voltage via their "
+                         "steady-state curves a_inf(V) — round-2 recipe; "
+                         "random gates land in V-compensated basins)")
     args = ap.parse_args()
 
     import jax
@@ -155,10 +160,25 @@ def main():
         rng = np.random.default_rng(seed)
         N_f = spec.N_f
         V_f = np.interp(np.arange(N_f) / 2.0, np.arange(N), V[:, 0])
+
+        def a_inf(va, dva):
+            return 0.5 * (1.0 + np.tanh((V_f - va) / dva))
+
+        # steady-state gate paths from the measured voltage (kinetic
+        # parameters are known when estimating conductances/reversals;
+        # in the 19-param mode this is still the best prior guess)
+        gates_ss = [a_inf(NAKL_P_TRUE[7], NAKL_P_TRUE[8]),    # m
+                    a_inf(NAKL_P_TRUE[11], NAKL_P_TRUE[12]),  # h
+                    a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])]  # n
         xp0s = []
         for _ in range(B):
-            X0 = np.column_stack([V_f] + [rng.uniform(0, 1, N_f)
-                                          for _ in range(3)])
+            if args.gates_random:
+                gates = [rng.uniform(0, 1, N_f) for _ in range(3)]
+            else:
+                # steady-state gates + small per-member jitter
+                gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
+                         for g in gates_ss]
+            X0 = np.column_stack([V_f] + gates)
             pe = [rng.uniform(*b) for b in pbounds]
             xp0s.append(np.concatenate([X0.ravel(), pe]).astype(np.float32))
         xp = jnp.asarray(np.stack(xp0s))
