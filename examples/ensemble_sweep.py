@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--once", action="store_true",
                     help="single timed run (compile included; chunked "
                          "ladders amortize it) — for very large sweeps")
+    ap.add_argument("--engine", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="action engine: auto picks the fused Pallas FE "
+                         "kernel in its measured-win regime (D>=256, "
+                         "one-step disc, f32 — this config at D=400)")
     ap.add_argument("--batch-chunk", type=int, default=0,
                     help="process the ensemble in member-chunks of this "
                          "size (one chip bounds per-dispatch size; a "
@@ -42,7 +47,8 @@ def main():
     import jax.numpy as jnp
     from varanneal_tpu.twin import lorenz96_twin
     from varanneal_tpu.models import lorenz96
-    from varanneal_tpu.ops import build_spec, make_action
+    from varanneal_tpu.ops import build_spec
+    from varanneal_tpu.kernels.fe_pallas import select_action
     from varanneal_tpu.opt import LBFGSOptions
     from varanneal_tpu.parallel import (
         ensemble_mesh, shard_batch, random_ensemble_inits)
@@ -56,7 +62,6 @@ def main():
     tw = lorenz96_twin(D=D, N_data=N_data, n_obs=n_obs)
     spec = build_spec(lorenz96, D, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
                       disc="trapezoid", P=np.array([4.0]), pidx=[0])
-    action, parts = make_action(spec)
 
     n_dev = len(jax.devices())
     mesh = ensemble_mesh(n_dev) if n_dev > 1 else None
@@ -70,6 +75,9 @@ def main():
                         pgtol=1e-8 if dtype == np.float64 else 1e-4,
                         ftol=2.2e-9 if dtype == np.float64 else 1e-6)
     rf0 = dtype(4e-6 * tw["RM"])
+    action, parts = select_action(spec, rf0, engine=args.engine,
+                                  dtype=dtype)
+    print(f"engine: {action.engine}")
     betas_all = np.arange(n_beta, dtype=dtype)
     chunk = args.chunk or n_beta
 

@@ -15,4 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env vars above are read by jax at IMPORT time; an accelerator-plugin
+# sitecustomize (e.g. the axon PJRT plugin's) may have imported jax at
+# interpreter startup, before this conftest ran — in that case only the
+# config API still works. Both paths are needed for the suite to select
+# the forced-8-device CPU mesh regardless of the host environment.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

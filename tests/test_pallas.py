@@ -164,3 +164,49 @@ def test_fe_unsupported_fallback():
     spec2, _ = _spec()
     assert not fe_supported(
         spec2, np.tile(np.eye(spec2.D), (spec2.N_f - 1, 1, 1)))
+
+
+def test_select_action_policy():
+    """engine='auto' picks Pallas only in the measured-win regime
+    (PARITY.md A/B table): accelerator backend, f32, one-step disc,
+    D >= 256. On the CPU test backend auto must always resolve to XLA."""
+    from varanneal_tpu.kernels.fe_pallas import (
+        select_action, pallas_preferred)
+    spec, _ = _spec()
+    # CPU backend: auto -> xla regardless of shape
+    assert not pallas_preferred(spec, 1.0, np.float32)
+    act, parts = select_action(spec, 1.0, engine="auto", dtype=np.float32)
+    assert act.engine == "xla"
+    # forced pallas on CPU (interpreter mode) matches XLA numerically
+    act_p, parts_p = select_action(spec, 1.0, engine="pallas",
+                                   dtype=np.float32, block_n=8)
+    assert act_p.engine == "pallas"
+    rng = np.random.default_rng(5)
+    xp = jnp.asarray(rng.normal(size=(spec.n_dof,)))
+    rf = jnp.asarray(0.37)
+    np.testing.assert_allclose(np.asarray(act_p(xp, rf)),
+                               np.asarray(act(xp, rf)),
+                               rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError):
+        select_action(spec, 1.0, engine="bogus")
+
+
+def test_pallas_preferred_regime(monkeypatch):
+    """Unit-check the win-regime predicate with the platform faked to a
+    TPU (jax.devices is monkeypatched; no accelerator in CI)."""
+    from varanneal_tpu.kernels import fe_pallas as fp
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(fp.jax, "devices", lambda: [_Dev()])
+    spec_big, _ = _spec(D=256)
+    spec_small, _ = _spec(D=6)
+    spec_sh, _ = _spec(disc="SimpsonHermite", D=256)
+    assert fp.pallas_preferred(spec_big, 1.0, np.float32)
+    assert not fp.pallas_preferred(spec_small, 1.0, np.float32)   # small D
+    assert not fp.pallas_preferred(spec_big, 1.0, np.float64)     # dtype
+    assert not fp.pallas_preferred(spec_sh, 1.0, np.float32)      # SH opt-in
+    # unsupported rf shape falls through to XLA
+    rf_mat = np.tile(np.eye(spec_big.D), (spec_big.N_f - 1, 1, 1))
+    assert not fp.pallas_preferred(spec_big, rf_mat, np.float32)

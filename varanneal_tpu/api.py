@@ -175,7 +175,7 @@ class Annealer:
                disc="trapezoid", method="L-BFGS-B", bounds=None,
                opt_args=None, adolcID=0, dtype=None, track_paths=True,
                verbose=False, checkpoint_path=None, checkpoint_every=10,
-               resume=True, R_time_dependent=None):
+               resume=True, R_time_dependent=None, engine="auto"):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -186,7 +186,10 @@ class Annealer:
         checkpointing of the ladder to an .npz (see anneal/checkpoint.py);
         ``R_time_dependent``: disambiguates 2-D RM/RF0 when the time and
         component dimensions coincide (True = (N, K) per-time diagonal,
-        False = (K, K) matrix; default warns and reads time-dependent).
+        False = (K, K) matrix; default warns and reads time-dependent);
+        ``engine``: ``'auto'`` (default — fused Pallas FE kernel in its
+        measured-win regime, D>=256 one-step discs in f32 on an
+        accelerator; XLA otherwise), ``'xla'``, or ``'pallas'`` (forced).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -232,7 +235,8 @@ class Annealer:
         opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)
 
-        act, parts = make_action(spec)
+        from varanneal_tpu.kernels.fe_pallas import select_action
+        act, parts = select_action(spec, rf0, engine=engine, dtype=dtype)
         inner, residual_fn, lm_opts, tnc_opts = "lbfgs", None, None, None
         if method in ("LM", "GN"):
             from varanneal_tpu.opt.lm import make_residual_fn, LMOptions

@@ -568,6 +568,55 @@ def _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
     return fe
 
 
+# Auto-enable threshold, pinned by the measured A/B table in PARITY.md:
+# real mini-ladders win 1.33x at D=400 (one-step discs, f32, batch 64,
+# block 64) and lose 175x at D=20 (lane padding 20->128 dominates and
+# per-iterate kernel launches break XLA's while_loop fusion). 256 is the
+# smallest lane-tile multiple in the winning regime that was measured
+# favourable forward+backward.
+_AUTO_MIN_D = 256
+
+
+def pallas_preferred(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
+    """Measured-win predicate for ``engine='auto'`` (PARITY.md A/B table).
+
+    True only in the regime where the fused kernel beat XLA on REAL
+    ladders: one-step discretizations, D >= 256, f32, on an actual
+    accelerator backend. SimpsonHermite stays opt-in (its ladder loses
+    under vmap: the batch folds into the kernel block and VMEM forces
+    tiny blocks), as does everything on CPU (interpreter mode only).
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return (platform != "cpu"
+            and np.dtype(dtype) == np.float32
+            and spec.disc in ("euler", "trapezoid", "forwardmap")
+            and spec.D >= _AUTO_MIN_D
+            and fe_supported(spec, rf))
+
+
+def select_action(spec: ProblemSpec, rf, engine: str = "auto",
+                  dtype=np.float32, block_n: int = 64,
+                  pallas_backward: bool = True):
+    """Pick the action implementation: ``'xla'``, ``'pallas'``, or
+    ``'auto'`` (Pallas only in its measured-win regime, see
+    :func:`pallas_preferred`). Returns the same ``(action, action_parts)``
+    contract as ``ops.action.make_action``."""
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"engine must be auto/xla/pallas, got {engine!r}")
+    if engine == "pallas" or (engine == "auto"
+                              and pallas_preferred(spec, rf, dtype)):
+        act, parts = make_action_pallas(spec, block_n=block_n,
+                                        pallas_backward=pallas_backward)
+        act.engine = "pallas"
+    else:
+        act, parts = _action.make_action(spec)
+        act.engine = "xla"
+    return act, parts
+
+
 def make_action_pallas(spec: ProblemSpec, block_n: int = 512,
                        pallas_backward: bool = True):
     """Action with the Pallas FE forward (ME stays in XLA — it is a cheap
