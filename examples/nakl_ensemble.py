@@ -26,6 +26,7 @@ Two-process workflow:
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,13 +58,30 @@ PBOUNDS_ALL = [
 STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
 
 
-def chunked_ladder(run, xp, betas, chunk, tag=""):
+def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None):
     """Drive ``run(xp, beta_chunk) -> LadderResult`` over β in short
-    dispatches; returns (final xp, A concatenated over β)."""
+    dispatches; returns (final xp, A concatenated over β).
+
+    ``ckpt``: path for per-chunk atomic .npz progress saves — this
+    testbed's TPU worker can die mid-sweep (UNAVAILABLE device errors
+    under sustained large dispatches), and per-chunk checkpointing turns
+    that from a lost run into a resume. A partial checkpoint (``n_done``
+    < len(betas)) is picked up automatically on restart.
+    """
     import jax
     A_parts = []
     n = len(betas)
-    for i0 in range(0, n, chunk):
+    start = 0
+    if ckpt is not None and os.path.exists(ckpt):
+        d = np.load(ckpt)
+        n_done = int(d["n_done"]) if "n_done" in d else n
+        if 0 < n_done <= n:
+            xp = jax.numpy.asarray(d["xp"])
+            A_parts = [d["A"][..., :n_done]]
+            start = n_done
+            print(f"  {tag}resumed from {ckpt} at β index {start}",
+                  flush=True)
+    for i0 in range(start, n, chunk):
         t0 = time.time()
         r = run(xp, betas[i0: i0 + chunk])
         jax.block_until_ready(r.A)
@@ -72,6 +90,11 @@ def chunked_ladder(run, xp, betas, chunk, tag=""):
         print(f"  {tag}β[{i0}:{min(i0 + chunk, n)}] "
               f"{time.time() - t0:.1f}s  A={A_parts[-1][..., -1].min():.4g}",
               flush=True)
+        if ckpt is not None:
+            np.savez(ckpt + ".tmp.npz",
+                     xp=np.asarray(xp), A=np.concatenate(A_parts, axis=-1),
+                     n_done=min(i0 + chunk, n), **(meta or {}))
+            os.replace(ckpt + ".tmp.npz", ckpt)
     return xp, np.concatenate(A_parts, axis=-1)
 
 
@@ -86,7 +109,10 @@ def main():
     ap.add_argument("--no-polish", action="store_true")
     ap.add_argument("--all-params", action="store_true")
     ap.add_argument("--save", type=str, default=None,
-                    help="save phase-1 ensemble state to this .npz")
+                    help="save phase-1 ensemble state to this .npz; also "
+                         "used for per-chunk progress checkpoints — "
+                         "re-running the same command resumes a partial "
+                         "phase 1 after a TPU-worker crash")
     ap.add_argument("--load", type=str, default=None,
                     help="skip phase 1; load ensemble state from this .npz")
     ap.add_argument("--seed", type=int, default=3)
@@ -190,13 +216,15 @@ def main():
                                      1.6, lower=lo, upper=hi, opts=opts,
                                      store_paths=False), in_axes=(0, None)))
         t0 = time.time()
+        meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
+                    all_params=all_params)
         xp, A = chunked_ladder(lambda z, bc: lad(z, jnp.asarray(bc)),
-                               xp, betas_all, args.chunk, tag="p1 ")
+                               xp, betas_all, args.chunk, tag="p1 ",
+                               ckpt=args.save, meta=meta)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(xp)
         if args.save:
-            np.savez(args.save, xp=xp_np, A=A, N=N, n_beta=n_beta, dt=dt,
-                     seed=seed, all_params=all_params)
+            np.savez(args.save, xp=xp_np, A=A, **meta)
             print(f"saved phase-1 state -> {args.save}")
 
     lv = diag.action_levels(A[:, -1], rel_gap=0.02)
