@@ -49,3 +49,40 @@ def test_example_lorenz96_d20_small_runs():
     for f in ("l96_paths.npy", "l96_params.npy", "l96_action_errors.dat"):
         assert os.path.exists(f)
         os.unlink(f)
+
+
+def test_colpitts_vs_numpy():
+    from varanneal_tpu.models import colpitts, COLPITTS_P_TRUE
+    from varanneal_tpu.twin import colpitts_np
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(5, 3))
+    p = np.asarray(COLPITTS_P_TRUE)
+    got = np.asarray(colpitts(0.0, jnp.asarray(x), jnp.asarray(p)))
+    want = np.stack([colpitts_np(xi, p) for xi in x])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_colpitts_estimation_e2e():
+    """Small twin experiment through the facade: observing x1 of the
+    chaotic Colpitts attractor recovers eta (the loop-gain parameter)."""
+    from varanneal_tpu.api import Annealer
+    from varanneal_tpu.models import colpitts, COLPITTS_P_TRUE
+    from varanneal_tpu.twin import colpitts_twin
+
+    tw = colpitts_twin(N_data=161, dt=0.05, sigma=0.02)
+    ann = Annealer()
+    ann.set_model(colpitts, 3)
+    ann.set_data(tw["Y"], t=tw["t"])
+    rng = np.random.default_rng(4)
+    X0 = rng.normal(size=(161, 3))
+    P0 = np.asarray(COLPITTS_P_TRUE).copy()
+    P0[3] = 4.0                       # perturb eta; estimate it
+    ann.anneal(X0, P0, 1.5, np.arange(25.0), tw["RM"], 1e-4 * tw["RM"],
+               tw["Lidx"], Pidx=[3],
+               opt_args=dict(maxiter=400, gtol=1e-9))
+    eta = float(ann.minpaths_P[-1][0])
+    assert abs(eta - COLPITTS_P_TRUE[3]) / COLPITTS_P_TRUE[3] < 0.05, eta
+    # estimated path tracks the unobserved components too
+    X = ann.minpaths_X[-1]
+    rmse_unobs = np.sqrt(np.mean((X[:, 1] - tw["traj"][:, 1]) ** 2))
+    assert rmse_unobs < 0.5 * tw["traj"][:, 1].std(), rmse_unobs

@@ -1,7 +1,7 @@
 """Thin CLI runner: ``python -m varanneal_tpu CONFIG.json``.
 
 The JSON config holds the AnnealConfig fields plus:
-  "model":  one of the built-in model names ("lorenz96", "lorenz63",
+  "model":  one of the built-in model names ("lorenz96", "lorenz63", "colpitts",
             "nakl") with "D";
   "data":   {"file": "...", "stim_file": "...", "nstart": 0, "N": null}
             (reference set_data_fromfile semantics: column 0 = time);

@@ -15,5 +15,8 @@ Model-call convention (matches the reference's vectorized-callable contract,
 
 from varanneal_tpu.models.lorenz import lorenz96, lorenz63
 from varanneal_tpu.models.nakl import nakl, NAKL_P_TRUE, NAKL_PNAMES
+from varanneal_tpu.models.colpitts import (
+    colpitts, COLPITTS_P_TRUE, COLPITTS_PNAMES)
 
-__all__ = ["lorenz96", "lorenz63", "nakl", "NAKL_P_TRUE", "NAKL_PNAMES"]
+__all__ = ["lorenz96", "lorenz63", "nakl", "NAKL_P_TRUE", "NAKL_PNAMES",
+           "colpitts", "COLPITTS_P_TRUE", "COLPITTS_PNAMES"]
