@@ -58,20 +58,27 @@ PBOUNDS_ALL = [
 STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
 
 
-def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None):
+def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None,
+                   snap_at=None):
     """Drive ``run(xp, beta_chunk) -> LadderResult`` over β in short
-    dispatches; returns (final xp, A concatenated over β).
+    dispatches; returns (final xp, A concatenated over β, snapshot xp).
 
     ``ckpt``: path for per-chunk atomic .npz progress saves — this
     testbed's TPU worker can die mid-sweep (UNAVAILABLE device errors
     under sustained large dispatches), and per-chunk checkpointing turns
     that from a lost run into a resume. A partial checkpoint (``n_done``
     < len(betas)) is picked up automatically on restart.
+
+    ``snap_at``: record the decision state right after this many β rungs
+    (the f64-polish restart point — f32 loses the global basin once rf
+    amplifies residuals below its round-off floor, so phase 2 must climb
+    the last rungs from a pre-divergence state, not the final one).
     """
     import jax
     A_parts = []
     n = len(betas)
     start = 0
+    xp_snap = None
     if ckpt is not None and os.path.exists(ckpt):
         d = np.load(ckpt)
         n_done = int(d["n_done"]) if "n_done" in d else n
@@ -79,6 +86,8 @@ def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None):
             xp = jax.numpy.asarray(d["xp"])
             A_parts = [d["A"][..., :n_done]]
             start = n_done
+            if "xp_snap" in d:
+                xp_snap = d["xp_snap"]
             print(f"  {tag}resumed from {ckpt} at β index {start}",
                   flush=True)
     for i0 in range(start, n, chunk):
@@ -90,12 +99,15 @@ def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None):
         print(f"  {tag}β[{i0}:{min(i0 + chunk, n)}] "
               f"{time.time() - t0:.1f}s  A={A_parts[-1][..., -1].min():.4g}",
               flush=True)
+        if snap_at is not None and i0 < snap_at <= i0 + chunk:
+            xp_snap = np.asarray(xp)
         if ckpt is not None:
+            extra = {} if xp_snap is None else {"xp_snap": xp_snap}
             np.savez(ckpt + ".tmp.npz",
                      xp=np.asarray(xp), A=np.concatenate(A_parts, axis=-1),
-                     n_done=min(i0 + chunk, n), **(meta or {}))
+                     n_done=min(i0 + chunk, n), **extra, **(meta or {}))
             os.replace(ckpt + ".tmp.npz", ckpt)
-    return xp, np.concatenate(A_parts, axis=-1)
+    return xp, np.concatenate(A_parts, axis=-1), xp_snap
 
 
 def main():
@@ -104,8 +116,14 @@ def main():
     ap.add_argument("--ninit", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--maxiter", type=int, default=400)
-    ap.add_argument("--polish-maxiter", type=int, default=4000)
-    ap.add_argument("--polish-top", type=int, default=3)
+    ap.add_argument("--polish-maxiter", type=int, default=2000)
+    ap.add_argument("--polish-top", type=int, default=4)
+    ap.add_argument("--snap-beta", type=int, default=None,
+                    help="record the phase-1 ensemble state after this "
+                         "many β rungs as the f64 polish restart point "
+                         "(default n_beta-21 — the last rung before f32 "
+                         "round-off loses the global basin on this "
+                         "problem, measured in PARITY.md)")
     ap.add_argument("--no-polish", action="store_true")
     ap.add_argument("--all-params", action="store_true")
     ap.add_argument("--save", type=str, default=None,
@@ -121,6 +139,15 @@ def main():
                     help="bounded L-BFGS algorithm (subspace = full "
                          "L-BFGS-B with GCP; converges far faster on the "
                          "bound-active NaKL gates)")
+    ap.add_argument("--gate-rf-scale", type=float, default=1.0,
+                    help="relative model-error precision of the three "
+                         "gate-kinetics equations vs the voltage equation. "
+                         "Scalar RF lets the ~100x-larger-scale V residuals "
+                         "dominate FE, leaving gate paths free to absorb "
+                         "wrong conductances (every member pins gL at its "
+                         "bound); s ~ (dV/dt scale / gate-rate scale)^2 "
+                         "~ 1e4 rebalances them (the literature's "
+                         "state-scaling practice)")
     ap.add_argument("--gates-random", action="store_true",
                     help="uniform-random initial gate paths (default: "
                          "gates slaved to the data voltage via their "
@@ -145,6 +172,8 @@ def main():
         N = int(saved["N"]); n_beta = int(saved["n_beta"])
         dt = float(saved["dt"]); seed = int(saved["seed"])
         all_params = bool(saved["all_params"])
+        if "gate_rf_scale" in saved:
+            args.gate_rf_scale = float(saved["gate_rf_scale"])
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -160,6 +189,11 @@ def main():
     pbounds = [PBOUNDS_ALL[j] for j in Pidx]
     bounds = STATE_BOUNDS + pbounds
 
+    # per-component RF0 direction: [V, m, h, n]; the ladder scales the
+    # whole vector by alpha^beta, preserving the relative gate weighting
+    rf_dir = np.array([1.0, args.gate_rf_scale, args.gate_rf_scale,
+                       args.gate_rf_scale])
+
     def make_problem(dtype):
         spec = build_spec(nakl, 4, V.astype(dtype), t, [0], 1.0,
                           disc="SimpsonHermite",
@@ -171,11 +205,15 @@ def main():
     spec, action, parts, lo, hi = make_problem(np.float32)
     betas_all = np.arange(n_beta, dtype=np.float32)
 
+    snap = args.snap_beta if args.snap_beta is not None else n_beta - 21
+
     if args.load:
         xp_np = saved["xp"]; A = saved["A"]
+        xp_snap = saved["xp_snap"] if "xp_snap" in saved else None
         B = xp_np.shape[0]
         print(f"loaded {args.load}: B={B}, N={N}, "
-              f"{'19' if all_params else '5'}-param")
+              f"{'19' if all_params else '5'}-param, "
+              f"snapshot {'yes' if xp_snap is not None else 'no'}")
     else:
         B = args.ninit
         print(f"NaKL ensemble: N={N}, B={B}, "
@@ -211,20 +249,26 @@ def main():
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
+        rf0_arr = np.ascontiguousarray(np.broadcast_to(
+            1e-5 * rf_dir, (spec.N_f - 1, 4))).astype(np.float32)
         lad = jax.jit(jax.vmap(
-            lambda z, bc: run_ladder(action, parts, z, bc, np.float32(1e-5),
+            lambda z, bc: run_ladder(action, parts, z, bc,
+                                     jnp.asarray(rf0_arr),
                                      1.6, lower=lo, upper=hi, opts=opts,
                                      store_paths=False), in_axes=(0, None)))
         t0 = time.time()
         meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
-                    all_params=all_params)
-        xp, A = chunked_ladder(lambda z, bc: lad(z, jnp.asarray(bc)),
-                               xp, betas_all, args.chunk, tag="p1 ",
-                               ckpt=args.save, meta=meta)
+                    all_params=all_params,
+                    gate_rf_scale=args.gate_rf_scale)
+        xp, A, xp_snap = chunked_ladder(
+            lambda z, bc: lad(z, jnp.asarray(bc)),
+            xp, betas_all, args.chunk, tag="p1 ",
+            ckpt=args.save, meta=meta, snap_at=snap)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(xp)
         if args.save:
-            np.savez(args.save, xp=xp_np, A=A, **meta)
+            extra = {} if xp_snap is None else {"xp_snap": xp_snap}
+            np.savez(args.save, xp=xp_np, A=A, **extra, **meta)
             print(f"saved phase-1 state -> {args.save}")
 
     lv = diag.action_levels(A[:, -1], rel_gap=0.02)
@@ -246,35 +290,59 @@ def main():
     order = np.argsort(A[:, -1])
     report(np.asarray(xp_np)[order[0]].astype(np.float64), "phase-1 best")
 
-    # ---- phase 2: f64 polish of the lowest-action members ---------------
+    # ---- phase 2: f64 polish up the last rungs, from the snapshot --------
+    # f32 cannot converge the top rungs (rf amplifies residuals below its
+    # round-off floor — measured: truth-level A at β60 is ~1.4 while every
+    # f32 member saturates at ~5000), so the polish restarts from the
+    # pre-divergence snapshot and climbs β=snap..n_beta+9 in f64, vmapped
+    # over the top-K members.
     if args.no_polish:
         return 0
+    if xp_snap is not None:
+        order_pol = np.argsort(A[:, min(snap, A.shape[1] - 1)])
+        src, src_tag = xp_snap, f"snapshot@β{snap}"
+        pol_lo = float(snap)
+    else:  # legacy state without a snapshot: polish from the final state
+        order_pol = order
+        src, src_tag = xp_np, "final state"
+        pol_lo = float(n_beta - 21)
+    K = min(args.polish_top, src.shape[0])
+    picks = [int(k) for k in order_pol[:K]]
+    print(f"phase 2: f64 polish of members {picks} from {src_tag}")
     spec64, action64, parts64, lo64, hi64 = make_problem(np.float64)
     opts64 = LBFGSOptions(maxiter=args.polish_maxiter, pgtol=1e-10,
                           ftol=1e-14, bounded_algo=args.algo)
-    pol = jax.jit(lambda z, b: run_ladder(
-        action64, parts64, z, b, 1e-5, 1.6, lower=lo64, upper=hi64,
-        opts=opts64, store_paths=False))
-    pol_betas = np.arange(float(n_beta - 21), float(n_beta + 10))
-    results = []
-    for k in order[: args.polish_top]:
-        t1 = time.time()
-        XPk, Ak = chunked_ladder(pol, jnp.asarray(xp_np[k], np.float64),
-                                 pol_betas, max(args.chunk, 4),
-                                 tag=f"pol[{k}] ")
-        XPk = np.asarray(XPk)
-        print(f"polish member {k}: {time.time() - t1:.1f}s  "
-              f"A {A[k, -1]:.5g} -> {Ak[-1]:.5g}")
-        results.append((float(Ak[-1]), int(k), XPk))
-        report(XPk, f"member {k}")
-    results.sort()
+    rf0_64 = np.ascontiguousarray(np.broadcast_to(
+        1e-5 * rf_dir, (spec64.N_f - 1, 4)))
+    pol = jax.jit(jax.vmap(
+        lambda z, bc: run_ladder(action64, parts64, z, bc,
+                                 jnp.asarray(rf0_64), 1.6,
+                                 lower=lo64, upper=hi64, opts=opts64,
+                                 store_paths=False), in_axes=(0, None)))
+    pol_betas = np.arange(pol_lo, float(n_beta + 10))
+    base = args.save or args.load
+    t1 = time.time()
+    XPk, Ak, _ = chunked_ladder(
+        lambda z, bc: pol(z, jnp.asarray(bc)),
+        jnp.asarray(src[picks].astype(np.float64)), pol_betas,
+        max(args.chunk, 2), tag="pol ",
+        ckpt=(base.replace(".npz", "_pol_ckpt.npz") if base else None),
+        meta=dict(picks=np.asarray(picks)))
+    XPk = np.asarray(XPk)
+    print(f"polish ({K} members x {len(pol_betas)} β): "
+          f"{time.time() - t1:.1f}s")
+    results = sorted((float(Ak[j, -1]), picks[j], XPk[j])
+                     for j in range(K))
+    for Aj, kj, XPj in results:
+        print(f"member {kj}: polished A={Aj:.6g}")
+        report(XPj, f"member {kj}")
     Abest, kbest, XPbest = results[0]
     print(f"\n=== final estimate: member {kbest}, polished A={Abest:.6g} ===")
     report(XPbest, "FINAL")
-    base = args.save or args.load
     if base:
         out = base.replace(".npz", "_polished.npz")
         np.savez(out, XP=XPbest, member=kbest, A=Abest,
+                 A_polished=np.asarray([r[0] for r in results]),
                  candidates=np.asarray([r[1] for r in results]))
         print(f"saved polished estimate -> {out}")
     return 0
