@@ -115,7 +115,18 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--ninit", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=2)
-    ap.add_argument("--maxiter", type=int, default=400)
+    ap.add_argument("--maxiter", type=int, default=400,
+                    help="inner L-BFGS iterations PER DISPATCH; use "
+                         "--repeats for deeper per-rung solves (this "
+                         "testbed kills device dispatches that run "
+                         "longer than ~60 s)")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="re-minimize each β rung this many times "
+                         "(warm-started, one dispatch each) — bounded-"
+                         "dispatch equivalent of repeats*maxiter "
+                         "iterations per rung")
+    ap.add_argument("--polish-repeats", type=int, default=1,
+                    help="same, for the f64 polish rungs")
     ap.add_argument("--polish-maxiter", type=int, default=2000)
     ap.add_argument("--polish-top", type=int, default=4)
     ap.add_argument("--snap-beta", type=int, default=None,
@@ -174,6 +185,8 @@ def main():
         all_params = bool(saved["all_params"])
         if "gate_rf_scale" in saved:
             args.gate_rf_scale = float(saved["gate_rf_scale"])
+        if "repeats" in saved:
+            args.repeats = int(saved["repeats"])
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -203,7 +216,11 @@ def main():
         return spec, action, parts, lo, hi
 
     spec, action, parts, lo, hi = make_problem(np.float32)
-    betas_all = np.arange(n_beta, dtype=np.float32)
+    # each rung appears `repeats` times: the same rf re-minimized warm-
+    # started across that many bounded dispatches (deep solves without
+    # any single dispatch exceeding the testbed's ~60 s execution cap)
+    reps = max(1, args.repeats)
+    betas_all = np.repeat(np.arange(n_beta, dtype=np.float32), reps)
 
     snap = args.snap_beta if args.snap_beta is not None else n_beta - 21
 
@@ -259,11 +276,11 @@ def main():
         t0 = time.time()
         meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
                     all_params=all_params,
-                    gate_rf_scale=args.gate_rf_scale)
+                    gate_rf_scale=args.gate_rf_scale, repeats=reps)
         xp, A, xp_snap = chunked_ladder(
             lambda z, bc: lad(z, jnp.asarray(bc)),
             xp, betas_all, args.chunk, tag="p1 ",
-            ckpt=args.save, meta=meta, snap_at=snap)
+            ckpt=args.save, meta=meta, snap_at=snap * reps)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(xp)
         if args.save:
@@ -299,7 +316,8 @@ def main():
     if args.no_polish:
         return 0
     if xp_snap is not None:
-        order_pol = np.argsort(A[:, min(snap, A.shape[1] - 1)])
+        c = min(snap * max(1, args.repeats), A.shape[1]) - 1
+        order_pol = np.argsort(A[:, c])
         src, src_tag = xp_snap, f"snapshot@β{snap}"
         pol_lo = float(snap)
     else:  # legacy state without a snapshot: polish from the final state
@@ -319,7 +337,8 @@ def main():
                                  jnp.asarray(rf0_64), 1.6,
                                  lower=lo64, upper=hi64, opts=opts64,
                                  store_paths=False), in_axes=(0, None)))
-    pol_betas = np.arange(pol_lo, float(n_beta + 10))
+    pol_betas = np.repeat(np.arange(pol_lo, float(n_beta + 10)),
+                          max(1, args.polish_repeats))
     base = args.save or args.load
     t1 = time.time()
     XPk, Ak, _ = chunked_ladder(
