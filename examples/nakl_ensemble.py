@@ -23,6 +23,19 @@ Two-process workflow:
 ``--all-params`` estimates all 19 NaKL parameters with wide bounds
 (Kostuk/Toth-style); default estimates the 5 conductances/reversals
 [gNa, ENa, gK, EK, gL].
+
+Why ``--gate-rf-scale`` matters (measured, round 2): with a scalar RF the
+V-equation residual (units mV/ms, scale ~30) and the gate-kinetics
+residuals (units 1/ms, scale ~1) are weighted equally, so a relative
+violation of the gate kinetics costs ~1000x less than the same relative
+violation of the voltage equation. The free Hermite–Simpson gate
+midpoints then absorb the V measurement noise (m pegs at its bound, gate
+paths 0.1-0.3 RMSE off truth) while the V path overfits the data to
+0.13 mV — and the parameter projection onto that overfit path pins gL at
+its lower bound and EK near -100 for EVERY ensemble member.
+``--gate-rf-scale 1000`` (~ the squared scale ratio) equalizes relative
+violation costs; on the small config it recovers EK to +0.2% and gL to
++0.7% where the scalar-RF run had them at the box bounds.
 """
 
 import argparse
