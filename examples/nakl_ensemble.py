@@ -163,14 +163,14 @@ def main():
                     help="bounded L-BFGS algorithm (subspace = full "
                          "L-BFGS-B with GCP; converges far faster on the "
                          "bound-active NaKL gates)")
-    ap.add_argument("--gate-rf-scale", type=float, default=1.0,
+    ap.add_argument("--gate-rf-scale", type=float, default=1000.0,
                     help="relative model-error precision of the three "
                          "gate-kinetics equations vs the voltage equation. "
-                         "Scalar RF lets the ~100x-larger-scale V residuals "
-                         "dominate FE, leaving gate paths free to absorb "
-                         "wrong conductances (every member pins gL at its "
-                         "bound); s ~ (dV/dt scale / gate-rate scale)^2 "
-                         "~ 1e4 rebalances them (the literature's "
+                         "The measured-good default is 1000 (see module "
+                         "docstring); scalar RF (=1) lets the V residuals "
+                         "dominate FE and biases gL/EK to their bounds. "
+                         "s ~ (dV/dt scale / gate-rate scale)^2 "
+                         "rebalances them (the literature's "
                          "state-scaling practice)")
     ap.add_argument("--gates-random", action="store_true",
                     help="uniform-random initial gate paths (default: "
