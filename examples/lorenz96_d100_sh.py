@@ -15,6 +15,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--maxiter", type=int, default=800)
+    ap.add_argument("--ckpt", type=str, default="l96_d100_ckpt.npz",
+                    help="checkpoint path; chunks the ladder into short "
+                         "resumable device dispatches (some TPU runtimes "
+                         "kill single dispatches over ~60 s) — '' disables")
+    ap.add_argument("--ckpt-every", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -44,7 +49,9 @@ def main():
     ann.anneal(X0, P0, alpha=1.6, beta_array=np.arange(n_beta),
                RM=tw["RM"], RF0=1e-4, Lidx=tw["Lidx"], Pidx=[0],
                disc="SimpsonHermite",
-               opt_args=dict(maxiter=args.maxiter), verbose=True)
+               opt_args=dict(maxiter=args.maxiter), verbose=True,
+               checkpoint_path=args.ckpt or None,
+               checkpoint_every=args.ckpt_every)
     t1 = time.time()
 
     F_est = ann.minpaths_P[-1, 0]
