@@ -58,8 +58,10 @@ def main():
     betas = jnp.arange(n_beta, dtype=dtype)
     rf0 = dtype(4e-6 * tw["RM"])
     direction = os.environ.get("BENCH_DIRECTION", "compact")
+    m = int(os.environ.get("BENCH_M", "5"))
+    maxls = int(os.environ.get("BENCH_MAXLS", "20"))
     opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,
-                        direction=direction)
+                        direction=direction, m=m, maxls=maxls)
     ladder_kw = {}
     if os.environ.get("BENCH_INNER", "lbfgs") == "lm":
         from varanneal_tpu.opt.lm import make_residual_fn, LMOptions

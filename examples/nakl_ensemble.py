@@ -150,6 +150,11 @@ def main():
                          "problem, measured in PARITY.md)")
     ap.add_argument("--no-polish", action="store_true")
     ap.add_argument("--all-params", action="store_true")
+    ap.add_argument("--fix-cm", action="store_true",
+                    help="with --all-params: hold Cm at truth (the usual "
+                         "known-capacitance convention — estimating Cm "
+                         "jointly with kinetics is scale-degenerate: all "
+                         "currents enter as I/Cm)")
     ap.add_argument("--save", type=str, default=None,
                     help="save phase-1 ensemble state to this .npz; also "
                          "used for per-chunk progress checkpoints — "
@@ -211,7 +216,10 @@ def main():
                    i_min=-25.0, i_max=60.0)
     traj, V, stim, t = tw["traj"], tw["V"], tw["stim"], tw["t"]
 
-    Pidx = list(range(19)) if all_params else [1, 2, 3, 4, 5]
+    if args.load and "fix_cm" in saved:
+        args.fix_cm = bool(saved["fix_cm"])
+    Pidx = (list(range(1 if args.fix_cm else 0, 19)) if all_params
+            else [1, 2, 3, 4, 5])
     pbounds = [PBOUNDS_ALL[j] for j in Pidx]
     bounds = STATE_BOUNDS + pbounds
 
@@ -288,7 +296,7 @@ def main():
                                      store_paths=False), in_axes=(0, None)))
         t0 = time.time()
         meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
-                    all_params=all_params,
+                    all_params=all_params, fix_cm=args.fix_cm,
                     gate_rf_scale=args.gate_rf_scale, repeats=reps)
         xp, A, xp_snap = chunked_ladder(
             lambda z, bc: lad(z, jnp.asarray(bc)),
