@@ -3,12 +3,15 @@
 Round-1 experiments showed the NaKL voltage-only inverse problem has a
 near-degenerate conductance/reversal manifold: single inits land in
 compensated basins with perfect V tracking but wrong parameters. The
-working recipe (this script):
+working recipe (this script is now a THIN DRIVER — the mechanisms live in
+the library, ``anneal/checkpoint.py :: run_ladder_checkpointed``):
 
 1. bipolar injected current (probes the I-V curve across a wide V range);
 2. an f32 ensemble of random gate/parameter initializations, annealed on
    device with CHUNKED dispatches (long single dispatches crash some TPU
-   runtimes — and chunking also bounds preemption loss);
+   runtimes — and chunking also bounds preemption loss), per-rung
+   ``repeats`` for deep solves, and a ``snapshot_beta`` pre-divergence
+   state capture;
 3. f64 polish of the lowest-action members (deep inner solves), runnable
    in a separate (CPU) process from the saved phase-1 state.
 
@@ -39,7 +42,6 @@ violation costs; on the small config it recovers EK to +0.2% and gL to
 """
 
 import argparse
-import os
 import sys
 import time
 
@@ -71,63 +73,13 @@ PBOUNDS_ALL = [
 STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
 
 
-def chunked_ladder(run, xp, betas, chunk, tag="", ckpt=None, meta=None,
-                   snap_at=None):
-    """Drive ``run(xp, beta_chunk) -> LadderResult`` over β in short
-    dispatches; returns (final xp, A concatenated over β, snapshot xp).
-
-    ``ckpt``: path for per-chunk atomic .npz progress saves — this
-    testbed's TPU worker can die mid-sweep (UNAVAILABLE device errors
-    under sustained large dispatches), and per-chunk checkpointing turns
-    that from a lost run into a resume. A partial checkpoint (``n_done``
-    < len(betas)) is picked up automatically on restart.
-
-    ``snap_at``: record the decision state right after this many β rungs
-    (the f64-polish restart point — f32 loses the global basin once rf
-    amplifies residuals below its round-off floor, so phase 2 must climb
-    the last rungs from a pre-divergence state, not the final one).
-    """
-    import jax
-    A_parts = []
-    n = len(betas)
-    start = 0
-    xp_snap = None
-    if ckpt is not None and os.path.exists(ckpt):
-        d = np.load(ckpt)
-        n_done = int(d["n_done"]) if "n_done" in d else n
-        if 0 < n_done <= n:
-            xp = jax.numpy.asarray(d["xp"])
-            A_parts = [d["A"][..., :n_done]]
-            start = n_done
-            if "xp_snap" in d:
-                xp_snap = d["xp_snap"]
-            print(f"  {tag}resumed from {ckpt} at β index {start}",
-                  flush=True)
-    for i0 in range(start, n, chunk):
-        t0 = time.time()
-        r = run(xp, betas[i0: i0 + chunk])
-        jax.block_until_ready(r.A)
-        xp = r.XP
-        A_parts.append(np.asarray(r.A))
-        print(f"  {tag}β[{i0}:{min(i0 + chunk, n)}] "
-              f"{time.time() - t0:.1f}s  A={A_parts[-1][..., -1].min():.4g}",
-              flush=True)
-        if snap_at is not None and i0 < snap_at <= i0 + chunk:
-            xp_snap = np.asarray(xp)
-        if ckpt is not None:
-            extra = {} if xp_snap is None else {"xp_snap": xp_snap}
-            np.savez(ckpt + ".tmp.npz",
-                     xp=np.asarray(xp), A=np.concatenate(A_parts, axis=-1),
-                     n_done=min(i0 + chunk, n), **extra, **(meta or {}))
-            os.replace(ckpt + ".tmp.npz", ckpt)
-    return xp, np.concatenate(A_parts, axis=-1), xp_snap
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--ninit", type=int, default=64)
-    ap.add_argument("--chunk", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=2,
+                    help="dispatches per jitted chunk "
+                         "(run_ladder_checkpointed save_every)")
     ap.add_argument("--maxiter", type=int, default=400,
                     help="inner L-BFGS iterations PER DISPATCH; use "
                          "--repeats for deeper per-rung solves (this "
@@ -156,10 +108,10 @@ def main():
                          "jointly with kinetics is scale-degenerate: all "
                          "currents enter as I/Cm)")
     ap.add_argument("--save", type=str, default=None,
-                    help="save phase-1 ensemble state to this .npz; also "
-                         "used for per-chunk progress checkpoints — "
-                         "re-running the same command resumes a partial "
-                         "phase 1 after a TPU-worker crash")
+                    help="save phase-1 ensemble state to this .npz; the "
+                         "derived *_p1_ckpt.npz carries per-chunk "
+                         "progress — re-running the same command resumes "
+                         "a partial phase 1 after a TPU-worker crash")
     ap.add_argument("--load", type=str, default=None,
                     help="skip phase 1; load ensemble state from this .npz")
     ap.add_argument("--seed", type=int, default=3)
@@ -182,6 +134,14 @@ def main():
                          "gates slaved to the data voltage via their "
                          "steady-state curves a_inf(V) — round-2 recipe; "
                          "random gates land in V-compensated basins)")
+    ap.add_argument("--protocols", type=int, default=1,
+                    help="number of stimulus protocols annealed JOINTLY "
+                         "with one shared parameter vector "
+                         "(ops/multi.py): parameter combinations that "
+                         "are flat under one drive are pinned by "
+                         "another — the literature's multi-experiment "
+                         "identifiability lever for the 19-param "
+                         "estimation")
     args = ap.parse_args()
 
     import jax
@@ -192,19 +152,34 @@ def main():
     from varanneal_tpu.twin import nakl_twin
     from varanneal_tpu.ops import build_spec, make_action
     from varanneal_tpu.opt import LBFGSOptions
-    from varanneal_tpu.anneal import run_ladder
+    from varanneal_tpu.anneal.checkpoint import run_ladder_checkpointed
     from varanneal_tpu.api import build_bounds
     from varanneal_tpu import diag
 
+    # normalize once; all derived files hang off the stem (a bare name
+    # without .npz previously collided the polish checkpoint with the
+    # phase-1 save)
+    base = args.save or args.load
+    if base is not None and not base.endswith(".npz"):
+        base += ".npz"
+    stem = base[:-4] if base else None
+
     if args.load:
-        saved = np.load(args.load)
+        saved = np.load(base)
         N = int(saved["N"]); n_beta = int(saved["n_beta"])
         dt = float(saved["dt"]); seed = int(saved["seed"])
         all_params = bool(saved["all_params"])
         if "gate_rf_scale" in saved:
             args.gate_rf_scale = float(saved["gate_rf_scale"])
+        else:
+            # legacy saves predate the gate weighting and were annealed
+            # under scalar RF: polish with the objective they used
+            print("legacy save without gate_rf_scale: using 1.0")
+            args.gate_rf_scale = 1.0
         if "repeats" in saved:
             args.repeats = int(saved["repeats"])
+        if "protocols" in saved:
+            args.protocols = int(saved["protocols"])
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -212,8 +187,14 @@ def main():
         seed = args.seed
         all_params = args.all_params
 
-    tw = nakl_twin(N=N, dt=dt, sigma=1.0, seed=7, seg=75,
-                   i_min=-25.0, i_max=60.0)
+    K = max(1, args.protocols)
+    # protocol diversity: independent bipolar step sequences at several
+    # step lengths (probes the I-V curve AND several kinetic timescales)
+    segs = [75, 45, 110, 60, 90, 35]
+    tws = [nakl_twin(N=N, dt=dt, sigma=1.0, seed=7 + 97 * k,
+                     seg=segs[k % len(segs)], i_min=-25.0, i_max=60.0)
+           for k in range(K)]
+    tw = tws[0]
     traj, V, stim, t = tw["traj"], tw["V"], tw["stim"], tw["t"]
 
     if args.load and "fix_cm" in saved:
@@ -229,27 +210,30 @@ def main():
                        args.gate_rf_scale])
 
     def make_problem(dtype):
-        spec = build_spec(nakl, 4, V.astype(dtype), t, [0], 1.0,
-                          disc="SimpsonHermite",
-                          P=np.asarray(NAKL_P_TRUE), pidx=Pidx, stim=stim)
-        action, parts = make_action(spec)
-        lo, hi = build_bounds(spec, bounds, dtype)
-        return spec, action, parts, lo, hi
+        specs = [build_spec(nakl, 4, tk["V"].astype(dtype), tk["t"], [0],
+                            1.0, disc="SimpsonHermite",
+                            P=np.asarray(NAKL_P_TRUE), pidx=Pidx,
+                            stim=tk["stim"]) for tk in tws]
+        if K == 1:
+            action, parts = make_action(specs[0])
+            lo, hi = build_bounds(specs[0], bounds, dtype)
+        else:
+            from varanneal_tpu.ops.multi import (make_multi_action,
+                                                 build_multi_bounds)
+            action, parts = make_multi_action(specs)
+            lo, hi = build_multi_bounds(specs, bounds, dtype)
+        return specs[0], action, parts, lo, hi
 
     spec, action, parts, lo, hi = make_problem(np.float32)
-    # each rung appears `repeats` times: the same rf re-minimized warm-
-    # started across that many bounded dispatches (deep solves without
-    # any single dispatch exceeding the testbed's ~60 s execution cap)
+    n_state_tot = K * spec.n_state
     reps = max(1, args.repeats)
-    betas_all = np.repeat(np.arange(n_beta, dtype=np.float32), reps)
-
     snap = args.snap_beta if args.snap_beta is not None else n_beta - 21
 
     if args.load:
         xp_np = saved["xp"]; A = saved["A"]
         xp_snap = saved["xp_snap"] if "xp_snap" in saved else None
         B = xp_np.shape[0]
-        print(f"loaded {args.load}: B={B}, N={N}, "
+        print(f"loaded {base}: B={B}, N={N}, "
               f"{'19' if all_params else '5'}-param, "
               f"snapshot {'yes' if xp_snap is not None else 'no'}")
     else:
@@ -261,60 +245,70 @@ def main():
         # ---- phase 1: f32 ensemble, chunked -----------------------------
         rng = np.random.default_rng(seed)
         N_f = spec.N_f
-        V_f = np.interp(np.arange(N_f) / 2.0, np.arange(N), V[:, 0])
+        # per-protocol data voltage on the model grid + steady-state gate
+        # paths slaved to it (kinetic parameters are known when estimating
+        # conductances/reversals; in the 19-param mode this is still the
+        # best prior guess)
+        Vfs, gates_ss_k = [], []
+        for tk in tws:
+            V_fk = np.interp(np.arange(N_f) / 2.0, np.arange(N),
+                             tk["V"][:, 0])
+            Vfs.append(V_fk)
 
-        def a_inf(va, dva):
-            return 0.5 * (1.0 + np.tanh((V_f - va) / dva))
+            def a_inf(va, dva, V_fk=V_fk):
+                return 0.5 * (1.0 + np.tanh((V_fk - va) / dva))
 
-        # steady-state gate paths from the measured voltage (kinetic
-        # parameters are known when estimating conductances/reversals;
-        # in the 19-param mode this is still the best prior guess)
-        gates_ss = [a_inf(NAKL_P_TRUE[7], NAKL_P_TRUE[8]),    # m
-                    a_inf(NAKL_P_TRUE[11], NAKL_P_TRUE[12]),  # h
-                    a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])]  # n
+            gates_ss_k.append(
+                [a_inf(NAKL_P_TRUE[7], NAKL_P_TRUE[8]),    # m
+                 a_inf(NAKL_P_TRUE[11], NAKL_P_TRUE[12]),  # h
+                 a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])])  # n
         xp0s = []
         for _ in range(B):
-            if args.gates_random:
-                gates = [rng.uniform(0, 1, N_f) for _ in range(3)]
-            else:
-                # steady-state gates + small per-member jitter
-                gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
-                         for g in gates_ss]
-            X0 = np.column_stack([V_f] + gates)
+            blocks = []
+            for V_fk, gss in zip(Vfs, gates_ss_k):
+                if args.gates_random:
+                    gates = [rng.uniform(0, 1, N_f) for _ in range(3)]
+                else:
+                    # steady-state gates + small per-member jitter
+                    gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
+                             for g in gss]
+                blocks.append(np.column_stack([V_fk] + gates).ravel())
             pe = [rng.uniform(*b) for b in pbounds]
-            xp0s.append(np.concatenate([X0.ravel(), pe]).astype(np.float32))
+            xp0s.append(np.concatenate(blocks + [pe]).astype(np.float32))
         xp = jnp.asarray(np.stack(xp0s))
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
         rf0_arr = np.ascontiguousarray(np.broadcast_to(
             1e-5 * rf_dir, (spec.N_f - 1, 4))).astype(np.float32)
-        lad = jax.jit(jax.vmap(
-            lambda z, bc: run_ladder(action, parts, z, bc,
-                                     jnp.asarray(rf0_arr),
-                                     1.6, lower=lo, upper=hi, opts=opts,
-                                     store_paths=False), in_axes=(0, None)))
         t0 = time.time()
         meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
                     all_params=all_params, fix_cm=args.fix_cm,
-                    gate_rf_scale=args.gate_rf_scale, repeats=reps)
-        xp, A, xp_snap = chunked_ladder(
-            lambda z, bc: lad(z, jnp.asarray(bc)),
-            xp, betas_all, args.chunk, tag="p1 ",
-            ckpt=args.save, meta=meta, snap_at=snap * reps)
+                    gate_rf_scale=args.gate_rf_scale, repeats=reps,
+                    ninit=B, protocols=K)
+        res = run_ladder_checkpointed(
+            action, parts, xp, np.arange(n_beta, dtype=np.float32),
+            jnp.asarray(rf0_arr), 1.6,
+            ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
+            save_every=args.chunk, lower=lo, upper=hi, opts=opts,
+            store_paths=False, batched=True, repeats=reps,
+            snapshot_beta=snap, meta=meta, verbose=True)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
-        xp_np = np.asarray(xp)
-        if args.save:
+        xp_np = np.asarray(res.XP)
+        A = np.asarray(res.A)                       # (B, n_beta) per rung
+        xp_snap = (None if res.snapshot is None
+                   else np.asarray(res.snapshot))
+        if base:
             extra = {} if xp_snap is None else {"xp_snap": xp_snap}
-            np.savez(args.save, xp=xp_np, A=A, **extra, **meta)
-            print(f"saved phase-1 state -> {args.save}")
+            np.savez(base, xp=xp_np, A=A, **extra, **meta)
+            print(f"saved phase-1 state -> {base}")
 
     lv = diag.action_levels(A[:, -1], rel_gap=0.02)
     print("action levels:", np.array2string(lv.levels[:5], precision=1),
           "counts:", lv.counts[:5])
 
     def report(XPb, label):
-        p_est = XPb[spec.n_state:]
+        p_est = XPb[n_state_tot:]
         print(f"{label} estimated vs truth:")
         for j, pi in enumerate(Pidx):
             tr = NAKL_P_TRUE[pi]
@@ -337,7 +331,10 @@ def main():
     if args.no_polish:
         return 0
     if xp_snap is not None:
-        c = min(snap * max(1, args.repeats), A.shape[1]) - 1
+        # candidate ranking at the snapshot rung (per-rung A columns;
+        # legacy saves recorded per-dispatch columns = rungs x repeats)
+        c = (snap if A.shape[1] == n_beta else snap * reps) - 1
+        c = min(c, A.shape[1] - 1)
         order_pol = np.argsort(A[:, c])
         src, src_tag = xp_snap, f"snapshot@β{snap}"
         pol_lo = float(snap)
@@ -345,42 +342,39 @@ def main():
         order_pol = order
         src, src_tag = xp_np, "final state"
         pol_lo = float(n_beta - 21)
-    K = min(args.polish_top, src.shape[0])
-    picks = [int(k) for k in order_pol[:K]]
+    Ktop = min(args.polish_top, src.shape[0])
+    picks = [int(k) for k in order_pol[:Ktop]]
     print(f"phase 2: f64 polish of members {picks} from {src_tag}")
     spec64, action64, parts64, lo64, hi64 = make_problem(np.float64)
     opts64 = LBFGSOptions(maxiter=args.polish_maxiter, pgtol=1e-10,
                           ftol=1e-14, bounded_algo=args.algo)
     rf0_64 = np.ascontiguousarray(np.broadcast_to(
         1e-5 * rf_dir, (spec64.N_f - 1, 4)))
-    pol = jax.jit(jax.vmap(
-        lambda z, bc: run_ladder(action64, parts64, z, bc,
-                                 jnp.asarray(rf0_64), 1.6,
-                                 lower=lo64, upper=hi64, opts=opts64,
-                                 store_paths=False), in_axes=(0, None)))
-    pol_betas = np.repeat(np.arange(pol_lo, float(n_beta + 10)),
-                          max(1, args.polish_repeats))
-    base = args.save or args.load
+    pol_betas = np.arange(pol_lo, float(n_beta + 10))
     t1 = time.time()
-    XPk, Ak, _ = chunked_ladder(
-        lambda z, bc: pol(z, jnp.asarray(bc)),
-        jnp.asarray(src[picks].astype(np.float64)), pol_betas,
-        max(args.chunk, 2), tag="pol ",
-        ckpt=(base.replace(".npz", "_pol_ckpt.npz") if base else None),
-        meta=dict(picks=np.asarray(picks)))
-    XPk = np.asarray(XPk)
-    print(f"polish ({K} members x {len(pol_betas)} β): "
+    res_pol = run_ladder_checkpointed(
+        action64, parts64, jnp.asarray(src[picks].astype(np.float64)),
+        pol_betas, jnp.asarray(rf0_64), 1.6,
+        ckpt_path=(stem + "_pol_ckpt.npz" if stem else None),
+        save_every=max(args.chunk, 2), lower=lo64, upper=hi64,
+        opts=opts64, store_paths=False, batched=True,
+        repeats=max(1, args.polish_repeats),
+        meta=dict(picks=np.asarray(picks),
+                  gate_rf_scale=args.gate_rf_scale), verbose=True)
+    XPk = np.asarray(res_pol.XP)
+    Ak = np.asarray(res_pol.A)
+    print(f"polish ({Ktop} members x {len(pol_betas)} β): "
           f"{time.time() - t1:.1f}s")
     results = sorted((float(Ak[j, -1]), picks[j], XPk[j])
-                     for j in range(K))
+                     for j in range(Ktop))
     for Aj, kj, XPj in results:
         print(f"member {kj}: polished A={Aj:.6g}")
         report(XPj, f"member {kj}")
     Abest, kbest, XPbest = results[0]
     print(f"\n=== final estimate: member {kbest}, polished A={Abest:.6g} ===")
     report(XPbest, "FINAL")
-    if base:
-        out = base.replace(".npz", "_polished.npz")
+    if stem:
+        out = stem + "_polished.npz"
         np.savez(out, XP=XPbest, member=kbest, A=Abest,
                  A_polished=np.asarray([r[0] for r in results]),
                  candidates=np.asarray([r[1] for r in results]))

@@ -151,6 +151,134 @@ def test_checkpoint_batched_ensemble_resume(tmp_path):
     np.testing.assert_array_equal(resumed.XP, full.XP)
 
 
+def test_repeats_aggregation_matches_expanded_ladder(tmp_path):
+    """repeats=R must equal running the β sequence with every rung
+    repeated R times (warm-started), with records aggregated per rung:
+    A/status/pgnorm from the last repeat, nfev/niter summed."""
+    action, parts, xp0 = _setup()
+    betas = np.arange(5.0)
+    opts = LBFGSOptions(maxiter=8, pgtol=1e-12)   # force MAXITER exits so
+    # repeats actually change the iterate
+    rep = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                  save_every=3, opts=opts,
+                                  store_paths=False, repeats=3)
+    exp = run_ladder_checkpointed(action, parts, xp0,
+                                  np.repeat(betas, 3), 1e-4, 1.7,
+                                  save_every=3, opts=opts,
+                                  store_paths=False)
+    assert rep.A.shape == (5,)
+    np.testing.assert_array_equal(rep.XP, exp.XP)
+    np.testing.assert_array_equal(rep.A, exp.A.reshape(5, 3)[:, -1])
+    np.testing.assert_array_equal(rep.nfev, exp.nfev.reshape(5, 3).sum(1))
+    # deeper solves: repeated rungs end at (weakly) lower action
+    assert np.all(rep.A <= exp.A.reshape(5, 3)[:, 0] + 1e-12)
+
+
+def test_snapshot_beta_exact_state(tmp_path):
+    """result.snapshot == the decision state after exactly k rungs, even
+    when k is not a multiple of save_every (chunks split at the snapshot
+    boundary — the round-2 ADVICE drift bug, fixed in-library)."""
+    action, parts, xp0 = _setup()
+    betas = np.arange(7.0)
+    opts = LBFGSOptions(maxiter=15, pgtol=1e-9)
+    res = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                  save_every=2, opts=opts,
+                                  store_paths=False, snapshot_beta=3)
+    ref = run_ladder_checkpointed(action, parts, xp0, betas[:3], 1e-4, 1.7,
+                                  save_every=2, opts=opts,
+                                  store_paths=False)
+    assert res.snapshot is not None
+    np.testing.assert_array_equal(np.asarray(res.snapshot),
+                                  np.asarray(ref.XP))
+    # snapshot survives a checkpoint crash/resume
+    p = str(tmp_path / "s.npz")
+    run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                            ckpt_path=p, save_every=2, opts=opts,
+                            store_paths=False, snapshot_beta=3,
+                            resume=False)
+    res2 = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                   ckpt_path=p, save_every=2, opts=opts,
+                                   store_paths=False, snapshot_beta=3,
+                                   resume=True)
+    np.testing.assert_array_equal(np.asarray(res2.snapshot),
+                                  np.asarray(res.snapshot))
+
+
+def test_repeats_with_snapshot_and_batch():
+    """Snapshot indexing under repeats: taken after ALL repeats of the
+    snapshot rung, batched records stay (B, Nrung)."""
+    action, parts, _ = _setup()
+    rng = np.random.default_rng(0)
+    D, N_data = 6, 13
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    spec = build_spec(lorenz96, D, Y, t, [0, 2, 4], 4.0,
+                      disc="trapezoid", P=np.array([8.0]), pidx=[0])
+    xp0 = jnp.asarray(random_ensemble_inits(spec, 3, seed=2))
+    betas = np.arange(4.0)
+    opts = LBFGSOptions(maxiter=6, pgtol=1e-12)
+    res = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                  save_every=3, opts=opts,
+                                  store_paths=False, batched=True,
+                                  repeats=2, snapshot_beta=2)
+    assert res.A.shape == (3, 4)
+    assert np.asarray(res.snapshot).shape == xp0.shape
+    ref = run_ladder_checkpointed(action, parts, xp0,
+                                  np.repeat(betas[:2], 2), 1e-4, 1.7,
+                                  save_every=3, opts=opts,
+                                  store_paths=False, batched=True)
+    np.testing.assert_array_equal(np.asarray(res.snapshot),
+                                  np.asarray(ref.XP))
+
+
+def test_meta_mismatch_starts_fresh(tmp_path, capsys):
+    """A checkpoint written under different run-identity metadata must be
+    ignored on resume (the round-2 ADVICE silent-short-circuit bug)."""
+    action, parts, xp0 = _setup()
+    betas = np.arange(4.0)
+    opts = LBFGSOptions(maxiter=10)
+    p = str(tmp_path / "m.npz")
+    run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                            ckpt_path=p, save_every=2, opts=opts,
+                            store_paths=False, resume=False,
+                            meta=dict(seed=3, gate_rf_scale=1000.0))
+    # same meta: completed checkpoint short-circuits (no fresh message)
+    run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                            ckpt_path=p, save_every=2, opts=opts,
+                            store_paths=False, resume=True, verbose=True,
+                            meta=dict(seed=3, gate_rf_scale=1000.0))
+    out = capsys.readouterr().out
+    assert "resuming at dispatch index 4" in out
+    # changed seed: checkpoint must be rejected
+    run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                            ckpt_path=p, save_every=2, opts=opts,
+                            store_paths=False, resume=True, verbose=True,
+                            meta=dict(seed=4, gate_rf_scale=1000.0))
+    out = capsys.readouterr().out
+    assert "starting fresh" in out
+
+
+def test_facade_repeats_snapshot():
+    """The Annealer facade exposes repeats/snapshot_beta (no checkpoint
+    file needed) and stores the snapshot."""
+    from varanneal_tpu.api import Annealer
+    rng = np.random.default_rng(2)
+    D, N_data = 6, 13
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    ann = Annealer()
+    ann.set_model(lorenz96, D)
+    ann.set_data(Y, t=t)
+    X0 = rng.normal(size=(N_data, D))
+    ann.anneal(X0, np.array([8.0]), 1.7, np.arange(5), 4.0, 1e-4,
+               [0, 2, 4], [0], opt_args=dict(maxiter=10),
+               repeats=2, snapshot_beta=3, engine="xla")
+    assert ann.A_array.shape == (5,)
+    assert ann.XP_snapshot is not None
+    assert np.asarray(ann.XP_snapshot).shape == ann.XP_final.shape
+    assert np.all(np.isfinite(ann.A_array))
+
+
 def test_checkpoint_nnet_facade(tmp_path):
     """The nnet Annealer checkpoints/resumes through its facade kwargs."""
     from varanneal_tpu import nnet

@@ -40,6 +40,43 @@ class LadderResult(NamedTuple):
     nfev: jnp.ndarray       # (Nbeta,) action+grad evaluations
     pgnorm: jnp.ndarray     # (Nbeta,)
     paths: Optional[object]  # (Nbeta, ...) stacked minimizers, if stored
+    snapshot: Optional[object] = None   # decision tree recorded after
+    #                         ``snapshot_beta`` rungs (the f64-polish
+    #                         restart point — anneal/checkpoint.py)
+
+
+def aggregate_repeats(res: LadderResult, n_rung: int, repeats: int,
+                      rec_ax: int = 0) -> LadderResult:
+    """Collapse a per-dispatch ladder record (each rung re-minimized
+    ``repeats`` times, warm-started — the bounded-dispatch deep-solve
+    recipe, PARITY.md 'two-phase recipe') to per-rung records.
+
+    A/ME/FE/status/pgnorm take the LAST repeat of each rung (the deepest
+    solve at that rf); niter/nfev SUM over the rung's repeats; paths keep
+    the last repeat's minimizer.
+    """
+    if repeats == 1:
+        return res
+    import numpy as np
+
+    def _reshape(a):
+        a = np.asarray(a)
+        shp = a.shape[:rec_ax] + (n_rung, repeats) + a.shape[rec_ax + 1:]
+        return a.reshape(shp)
+
+    def _last(a):
+        return _reshape(a).take(repeats - 1, axis=rec_ax + 1)
+
+    def _sum(a):
+        return _reshape(a).sum(axis=rec_ax + 1)
+
+    paths = res.paths
+    if paths is not None:
+        paths = jax.tree_util.tree_map(_last, paths)
+    return res._replace(
+        A=_last(res.A), ME=_last(res.ME), FE=_last(res.FE),
+        status=_last(res.status), pgnorm=_last(res.pgnorm),
+        niter=_sum(res.niter), nfev=_sum(res.nfev), paths=paths)
 
 
 def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,

@@ -175,7 +175,8 @@ class Annealer:
                disc="trapezoid", method="L-BFGS-B", bounds=None,
                opt_args=None, adolcID=0, dtype=None, track_paths=True,
                verbose=False, checkpoint_path=None, checkpoint_every=10,
-               resume=True, R_time_dependent=None, engine="auto"):
+               resume=True, R_time_dependent=None, engine="auto",
+               repeats=1, snapshot_beta=None, checkpoint_meta=None):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -189,7 +190,14 @@ class Annealer:
         False = (K, K) matrix; default warns and reads time-dependent);
         ``engine``: ``'auto'`` (default — fused Pallas FE kernel in its
         measured-win regime, D>=256 one-step discs in f32 on an
-        accelerator; XLA otherwise), ``'xla'``, or ``'pallas'`` (forced).
+        accelerator; XLA otherwise), ``'xla'``, or ``'pallas'`` (forced);
+        ``repeats``: re-minimize every β rung this many times (warm-
+        started, one bounded dispatch each — deep per-rung solves under
+        this testbed's ~60 s dispatch cap; records stay per-rung);
+        ``snapshot_beta``: record the decision state right after this many
+        rungs (stored as ``self.XP_snapshot`` — the f64-polish restart
+        point, PARITY.md two-phase recipe); ``checkpoint_meta``: dict of
+        run-identity scalars validated on checkpoint resume.
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -256,7 +264,9 @@ class Annealer:
                                   **tnc_kw)
 
         t0 = time.time()
-        if checkpoint_path is not None:
+        repeats = max(1, int(repeats))
+        if (checkpoint_path is not None or repeats > 1
+                or snapshot_beta is not None):
             from varanneal_tpu.anneal.checkpoint import \
                 run_ladder_checkpointed
             res = run_ladder_checkpointed(
@@ -264,6 +274,8 @@ class Annealer:
                 ckpt_path=checkpoint_path, save_every=checkpoint_every,
                 lower=lower, upper=upper, opts=opts,
                 store_paths=track_paths, resume=resume, verbose=verbose,
+                repeats=repeats, snapshot_beta=snapshot_beta,
+                meta=checkpoint_meta,
                 inner=inner, residual_fn=residual_fn, lm_opts=lm_opts,
                 tnc_opts=tnc_opts)
         else:
@@ -295,6 +307,7 @@ class Annealer:
         self.nfev_array = res.nfev
         self.pgnorm_array = res.pgnorm
         self.XP_final = res.XP
+        self.XP_snapshot = getattr(res, "snapshot", None)
         if track_paths:
             self.minpaths = res.paths
         else:

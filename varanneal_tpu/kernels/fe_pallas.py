@@ -23,13 +23,16 @@ Kernel shape (the Mosaic-friendly design, learned the hard way):
 - boundary/padding masking is encoded in ZERO WEIGHT ROWS (or an iota
   valid-mask for the scalar-rf fast path) — no data-dependent branching.
 
-Scope (v2): ALL four discretizations including SimpsonHermite, scalar or
+Scope (v3): ALL four discretizations including SimpsonHermite, scalar or
 canonical (N_f-1, D)-diagonal rf, stimulus-driven f (the reference's
-``f(t, x, (p, stim))`` convention — NaKL config #3 is eligible), fused
-Pallas backward for every disc. Remaining exclusions, falling back to the
-general XLA path (``ops.action.model_error``): time-dependent parameters,
-full-matrix rf, and f with EXPLICIT t dependence (the kernel passes t=0;
-the built-in models are autonomous — drive enters via the stimulus). Use
+``f(t, x, (p, stim))`` convention — NaKL config #3 is eligible), f with
+EXPLICIT t dependence (the true model-grid time is reconstructed per row
+from the grid program id — the grid is uniform by construction, see
+``ops/spec.py :: build_spec`` — so non-autonomous models cost no extra
+VMEM traffic), fused Pallas backward for every disc. Remaining
+exclusions, falling back to the general XLA path
+(``ops.action.model_error``): time-dependent parameters, full-matrix rf,
+and hand-built specs with a non-uniform time grid. Use
 :func:`fe_supported` to test eligibility.
 
 Correctness is tested in interpreter mode on CPU against the oracle-pinned
@@ -58,45 +61,71 @@ def set_interpret(flag: bool):
     _INTERPRET[0] = bool(flag)
 
 
+def _grid_dt(spec: ProblemSpec) -> float:
+    """Model-grid row spacing: dt for one-step discs, dt/2 under
+    Hermite–Simpson (the doubled grid; ops/spec.py grid conventions)."""
+    return spec.dt / 2.0 if spec.disc == "SimpsonHermite" else spec.dt
+
+
+def _uniform_grid(spec: ProblemSpec) -> bool:
+    t_f = np.asarray(spec.t_f)
+    ref = t_f[0] + _grid_dt(spec) * np.arange(t_f.shape[0])
+    return bool(np.allclose(t_f, ref, rtol=1e-12, atol=1e-9))
+
+
 def fe_supported(spec: ProblemSpec, rf) -> bool:
     """Is the fused Pallas FE kernel applicable to this problem?
 
-    Caveat the predicate cannot see: f must not depend EXPLICITLY on t
-    (the kernel evaluates f at t=0; stimulus-driven forcing is supported
-    and is how the reference's driven systems enter — SURVEY.md §2)."""
+    Explicit t dependence IS supported: the kernel reconstructs the true
+    model-grid time per residual row (uniform grid, so t is affine in the
+    row index — no streamed time input needed). Hand-built specs with a
+    non-uniform ``t_f`` fall back to XLA."""
     rf = np.asarray(rf)
     return (spec.disc in ("euler", "trapezoid", "forwardmap",
                           "SimpsonHermite")
             and not spec.time_dep_p
-            and rf.ndim in (0, 2))
+            and rf.ndim in (0, 2)
+            and _uniform_grid(spec))
 
 
-def _call_f(spec, x, p, s):
-    t = jnp.zeros((x.shape[0],), x.dtype)
+def _t_rows(spec, idx0, n, dtype, stride=1):
+    """Times of ``n`` model-grid rows idx0, idx0+stride, ... for (possibly
+    traced) row index ``idx0``, shape (n,). 2-D iota then a column slice —
+    Mosaic requires >=2-D iota on TPU."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    gdt = jnp.asarray(_grid_dt(spec), dtype)
+    t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
+    return t0 + gdt * (idx0 + stride * j).astype(dtype)
+
+
+def _call_f(spec, t, x, p, s):
     if s is None:
         return spec.f(t, x, p)
     return spec.f(t, x, (p, s))
 
 
-def _block_residual(spec: ProblemSpec, x_n, x_np1, p, s_n=None, s_np1=None):
-    """One-step discretization residual rows from the two shifted blocks."""
+def _block_residual(spec: ProblemSpec, t_n, x_n, x_np1, p,
+                    s_n=None, s_np1=None):
+    """One-step discretization residual rows from the two shifted blocks.
+    ``t_n``: (n,) times of the x_n rows; x_np1 rows sit at t_n + h."""
     h = spec.dt
-    fn = _call_f(spec, x_n, p, s_n)
+    fn = _call_f(spec, t_n, x_n, p, s_n)
     if spec.disc == "trapezoid":
-        fnp1 = _call_f(spec, x_np1, p, s_np1)
+        fnp1 = _call_f(spec, t_n + h, x_np1, p, s_np1)
         return x_np1 - x_n - (h / 2.0) * (fn + fnp1)
     if spec.disc == "euler":
         return x_np1 - x_n - h * fn
     return x_np1 - fn          # forwardmap
 
 
-def _sh_residuals(spec, xe0, xm, xe1, p, se0=None, sm=None, se1=None):
+def _sh_residuals(spec, te0, xe0, xm, xe1, p, se0=None, sm=None, se1=None):
     """Hermite–Simpson residual pair on one block of intervals
-    [pinned-by-oracle, ops/disc.py formulas]."""
+    [pinned-by-oracle, ops/disc.py formulas]. ``te0``: (n,) times of the
+    even start nodes; midpoints sit at te0 + h/2, end nodes at te0 + h."""
     h = spec.dt
-    f0 = _call_f(spec, xe0, p, se0)
-    fm = _call_f(spec, xm, p, sm)
-    f1 = _call_f(spec, xe1, p, se1)
+    f0 = _call_f(spec, te0, xe0, p, se0)
+    fm = _call_f(spec, te0 + h / 2.0, xm, p, sm)
+    f1 = _call_f(spec, te0 + h, xe1, p, se1)
     simpson = xe1 - xe0 - (h / 6.0) * (f0 + 4.0 * fm + f1)
     hermite = xm - 0.5 * (xe0 + xe1) - (h / 8.0) * (f0 - f1)
     return simpson, hermite, (f0, fm, f1)
@@ -114,7 +143,9 @@ def _kern_scalar(spec, block_n, has_stim, *refs):
         x0_ref, x1_ref, p_ref, rf_ref, out_ref = refs
         s0 = s1 = None
     i = pl.program_id(0)
-    r = _block_residual(spec, x0_ref[:, : spec.D], x1_ref[:, : spec.D],
+    x0 = x0_ref[:, : spec.D]
+    t_n = _t_rows(spec, i * block_n, x0.shape[0], x0.dtype)
+    r = _block_residual(spec, t_n, x0, x1_ref[:, : spec.D],
                         p_ref[0], s0, s1)
     row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
@@ -130,7 +161,9 @@ def _kern_diag(spec, block_n, has_stim, *refs):
         x0_ref, x1_ref, p_ref, rf_ref, out_ref = refs
         s0 = s1 = None
     i = pl.program_id(0)
-    r = _block_residual(spec, x0_ref[:, : spec.D], x1_ref[:, : spec.D],
+    x0 = x0_ref[:, : spec.D]
+    t_n = _t_rows(spec, i * block_n, x0.shape[0], x0.dtype)
+    r = _block_residual(spec, t_n, x0, x1_ref[:, : spec.D],
                         p_ref[0], s0, s1)
     row0 = i * block_n
     valid = (row0 + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
@@ -175,12 +208,18 @@ def _kern_bwd(spec, block_n, NP, has_stim, *refs):
     w_cur = wcur_ref[:, :D]
     p = p_ref[0]
 
-    wr_prev = w_prev * _block_residual(spec, x_prev, x_mid, p, s_prev,
-                                       s_mid)
-    wr_cur = w_cur * _block_residual(spec, x_mid, x_next, p, s_mid, s_next)
+    # row j of the block is gradient row m = i*block_n + j (time t_m); the
+    # duplicated-front-row residual at m=0 carries a zero weight row, so
+    # its (out-of-grid) time t_{-1} never contributes
+    t_mid = _t_rows(spec, i * block_n, x_mid.shape[0], x_mid.dtype)
+    gdt = _grid_dt(spec)
+    wr_prev = w_prev * _block_residual(spec, t_mid - gdt, x_prev, x_mid, p,
+                                       s_prev, s_mid)
+    wr_cur = w_cur * _block_residual(spec, t_mid, x_mid, x_next, p,
+                                     s_mid, s_next)
     v = c0 * wr_prev + c1 * wr_cur
 
-    _, f_vjp = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, s_mid),
+    _, f_vjp = jax.vjp(lambda xx, pp: _call_f(spec, t_mid, xx, pp, s_mid),
                        x_mid, p)
     xbar, pbar = f_vjp(v)
 
@@ -208,7 +247,11 @@ def _kern_sh_fwd(spec, has_stim, *refs):
         se0 = sm = se1 = None
     i = pl.program_id(0)
     D = spec.D
-    S, H, _ = _sh_residuals(spec, xe0_ref[:, :D], xm_ref[:, :D],
+    xe0 = xe0_ref[:, :D]
+    # interval k starts at even grid row 2k: te0 = t0 + k*dt
+    block_k = xe0.shape[0]
+    te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
+    S, H, _ = _sh_residuals(spec, te0, xe0, xm_ref[:, :D],
                             xe1_ref[:, :D], p_ref[0], se0, sm, se1)
     out_ref[i, 0] = (jnp.sum(ws_ref[:, :D] * S * S)
                      + jnp.sum(wh_ref[:, :D] * H * H))
@@ -239,16 +282,21 @@ def _kern_sh_bwd(spec, NP, has_stim, *refs):
     h = spec.dt
     p = p_ref[0]
     xe0, xm, xe1 = xe0_ref[:, :D], xm_ref[:, :D], xe1_ref[:, :D]
-    S, H, _ = _sh_residuals(spec, xe0, xm, xe1, p, se0, sm, se1)
+    block_k = xe0.shape[0]
+    te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
+    S, H, _ = _sh_residuals(spec, te0, xe0, xm, xe1, p, se0, sm, se1)
     WS = ws_ref[:, :D] * S
     WH = wh_ref[:, :D] * H
     v0 = -(h / 6.0) * WS - (h / 8.0) * WH
     vm = -(4.0 * h / 6.0) * WS
     v1 = -(h / 6.0) * WS + (h / 8.0) * WH
 
-    _, vjp0 = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, se0), xe0, p)
-    _, vjpm = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, sm), xm, p)
-    _, vjp1 = jax.vjp(lambda xx, pp: _call_f(spec, xx, pp, se1), xe1, p)
+    _, vjp0 = jax.vjp(lambda xx, pp: _call_f(spec, te0, xx, pp, se0),
+                      xe0, p)
+    _, vjpm = jax.vjp(lambda xx, pp: _call_f(spec, te0 + h / 2.0, xx, pp,
+                                             sm), xm, p)
+    _, vjp1 = jax.vjp(lambda xx, pp: _call_f(spec, te0 + h, xx, pp, se1),
+                      xe1, p)
     x0b, p0b = vjp0(v0)
     xmb, pmb = vjpm(vm)
     x1b, p1b = vjp1(v1)
