@@ -8,13 +8,18 @@
 //       either jax.grad or the NumPy test oracle; and
 //   (b) a fast host-side CPU fallback for action evaluation.
 //
-// Scope: Lorenz-96 vector field, trapezoid discretization, scalar RM/RF,
-// uniform observation stride, optional estimation of the forcing F as the
-// single parameter appended to the flat decision vector.
+// Scope: Lorenz-96 vector field, trapezoid AND Hermite–Simpson
+// discretizations, scalar RM/RF, uniform observation stride, optional
+// estimation of the forcing F as the single parameter appended to the flat
+// decision vector. Hermite–Simpson is SURVEY.md §7 hard-part #4 (the
+// doubled grid / midpoint packing) — exactly where a third independent
+// hand-derived gradient pays.
 //
 // Exported C ABI (see varanneal_tpu/native.py):
 //   l96_trap_action_grad(xp, N, D, y, n_data, lidx, L, stride,
 //                        rm, rf, dt, est_F, F_fixed, out_grad) -> A
+//   l96_sh_action_grad(xp, N_f, D, y, n_data, lidx, L, stride,
+//                      rm, rf, dt, est_F, F_fixed, out_grad) -> A
 // All arrays are double, row-major.
 
 #include <cstddef>
@@ -123,7 +128,91 @@ double l96_trap_action_grad(
     return me + fe;
 }
 
+// Hermite–Simpson action + analytic gradient on the doubled grid
+// (ops/spec.py grid conventions: N_f = 2*N_base - 1 rows at spacing dt/2;
+// interval m spans rows [2m, 2m+2] with full step h = dt; observations
+// couple to rows n * 2*stride).
+//
+// Residuals per interval (ops/disc.py [pinned-by-oracle]):
+//   S_m = x_{e1} - x_{e0} - (h/6)(f0 + 4 f_mid + f1)
+//   H_m = x_mid - (x_{e0}+x_{e1})/2 - (h/8)(f0 - f1)
+// Adjoint (hand-derived; independent of jax.grad and the NumPy oracle):
+//   g_e0 += 2c [ -S - H/2 + J0^T v0 ],  v0 = -(h/6) S - (h/8) H
+//   g_mid += 2c [  H      + Jm^T vm ],  vm = -(4h/6) S
+//   g_e1 += 2c [  S - H/2 + J1^T v1 ],  v1 = -(h/6) S + (h/8) H
+//   dA/dF = 2c * sum_m sum_d (v0 + vm + v1)_d   (df_d/dF = 1)
+double l96_sh_action_grad(
+    const double* xp, int N_f, int D,
+    const double* y, int n_data, const int* lidx, int L, int stride,
+    double rm, double rf, double dt, int est_F, double F_fixed,
+    double* out_grad) {
+
+    const double F = est_F ? xp[(std::size_t)N_f * D] : F_fixed;
+    const std::size_t n_state = (std::size_t)N_f * D;
+    std::memset(out_grad, 0, (n_state + (est_F ? 1 : 0)) * sizeof(double));
+
+    // ---- measurement error (even grid rows only) ---------------------
+    const double me_c = rm / ((double)L * (double)n_data);
+    const int obs_stride = 2 * stride;
+    double me = 0.0;
+    for (int n = 0; n < n_data; ++n) {
+        const double* xrow = xp + (std::size_t)(n * obs_stride) * D;
+        const double* yrow = y + (std::size_t)n * L;
+        double* grow = out_grad + (std::size_t)(n * obs_stride) * D;
+        for (int l = 0; l < L; ++l) {
+            const double diff = xrow[lidx[l]] - yrow[l];
+            me += me_c * diff * diff;
+            grow[lidx[l]] += 2.0 * me_c * diff;
+        }
+    }
+
+    // ---- model error (Hermite–Simpson) -------------------------------
+    const double fe_c = rf / ((double)D * (double)(N_f - 1));
+    const double h = dt;
+    const int M = (N_f - 1) / 2;
+    std::vector<double> f0(D), fm(D), f1(D), S(D), H(D);
+    std::vector<double> v0(D), vm(D), v1(D), jtv(D);
+    double fe = 0.0;
+    double vsum = 0.0;                       // sum of all adjoint seeds
+
+    for (int m = 0; m < M; ++m) {
+        const double* xe0 = xp + (std::size_t)(2 * m) * D;
+        const double* xm = xp + (std::size_t)(2 * m + 1) * D;
+        const double* xe1 = xp + (std::size_t)(2 * m + 2) * D;
+        l96_f(xe0, D, F, f0.data());
+        l96_f(xm, D, F, fm.data());
+        l96_f(xe1, D, F, f1.data());
+        for (int d = 0; d < D; ++d) {
+            S[d] = xe1[d] - xe0[d]
+                   - (h / 6.0) * (f0[d] + 4.0 * fm[d] + f1[d]);
+            H[d] = xm[d] - 0.5 * (xe0[d] + xe1[d])
+                   - (h / 8.0) * (f0[d] - f1[d]);
+            fe += fe_c * (S[d] * S[d] + H[d] * H[d]);
+            v0[d] = -(h / 6.0) * S[d] - (h / 8.0) * H[d];
+            vm[d] = -(4.0 * h / 6.0) * S[d];
+            v1[d] = -(h / 6.0) * S[d] + (h / 8.0) * H[d];
+            vsum += v0[d] + vm[d] + v1[d];
+        }
+        double* g_e0 = out_grad + (std::size_t)(2 * m) * D;
+        double* g_m = out_grad + (std::size_t)(2 * m + 1) * D;
+        double* g_e1 = out_grad + (std::size_t)(2 * m + 2) * D;
+        l96_jtv(xe0, v0.data(), D, jtv.data());
+        for (int d = 0; d < D; ++d)
+            g_e0[d] += 2.0 * fe_c * (-S[d] - 0.5 * H[d] + jtv[d]);
+        l96_jtv(xm, vm.data(), D, jtv.data());
+        for (int d = 0; d < D; ++d)
+            g_m[d] += 2.0 * fe_c * (H[d] + jtv[d]);
+        l96_jtv(xe1, v1.data(), D, jtv.data());
+        for (int d = 0; d < D; ++d)
+            g_e1[d] += 2.0 * fe_c * (S[d] - 0.5 * H[d] + jtv[d]);
+    }
+    if (est_F) {
+        out_grad[n_state] = 2.0 * fe_c * vsum;
+    }
+    return me + fe;
+}
+
 // Version tag so the ctypes wrapper can detect stale builds.
-int valib_abi_version() { return 1; }
+int valib_abi_version() { return 2; }
 
 }  // extern "C"

@@ -14,7 +14,7 @@ import numpy as np
 _REPO = Path(__file__).resolve().parent.parent
 _SRC = _REPO / "native" / "valib.cpp"
 _SO = _REPO / "native" / "libvalib.so"
-_ABI = 1
+_ABI = 2
 
 _lib = None
 
@@ -41,8 +41,7 @@ def load(rebuild: bool = False):
     if lib.valib_abi_version() != _ABI:
         _build()
         lib = ctypes.CDLL(str(_SO))
-    lib.l96_trap_action_grad.restype = ctypes.c_double
-    lib.l96_trap_action_grad.argtypes = [
+    sig = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
@@ -50,6 +49,10 @@ def load(rebuild: bool = False):
         ctypes.c_int, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.l96_trap_action_grad.restype = ctypes.c_double
+    lib.l96_trap_action_grad.argtypes = sig
+    lib.l96_sh_action_grad.restype = ctypes.c_double
+    lib.l96_sh_action_grad.argtypes = sig
     _lib = lib
     return lib
 
@@ -77,6 +80,32 @@ def l96_trap_action_grad(xp, N, D, Y, lidx, stride, rm, rf, dt,
     A = lib.l96_trap_action_grad(
         xp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         N, D,
+        Y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_data,
+        lidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        L, stride, float(rm), float(rf), float(dt),
+        1 if est_F else 0, float(F_fixed),
+        grad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return A, grad
+
+
+def l96_sh_action_grad(xp, N_f, D, Y, lidx, stride, rm, rf, dt,
+                       est_F=True, F_fixed=0.0):
+    """Native analytic Hermite–Simpson action+gradient for Lorenz-96 /
+    scalar R on the doubled grid (N_f = 2*N_base - 1 rows; ``dt`` = the
+    FULL interval h over [2m, 2m+2]; observations at rows n*2*stride).
+
+    xp: flat (N_f*D [+1]) decision vector; Y: (n_data, L).
+    Returns (A, grad)."""
+    lib = load()
+    xp = np.ascontiguousarray(xp, dtype=np.float64)
+    Y = np.ascontiguousarray(Y, dtype=np.float64)
+    lidx = np.ascontiguousarray(lidx, dtype=np.int32)
+    n_data, L = Y.shape
+    grad = np.zeros(N_f * D + (1 if est_F else 0), dtype=np.float64)
+    A = lib.l96_sh_action_grad(
+        xp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        N_f, D,
         Y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         n_data,
         lidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
