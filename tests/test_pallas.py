@@ -227,6 +227,84 @@ def test_nonuniform_grid_not_supported():
     assert not pallas_preferred(spec_bad, 1.0, np.float32)
 
 
+@pytest.mark.parametrize("rf_kind", ["scalar", "diag"])
+def test_fe_sh_batched_grid_vmap(rf_kind):
+    """Under vmap, the SH kernel dispatches to the batched-grid
+    implementation (custom_vmap rule — batch on the leading grid axis,
+    VERDICT r02 next-round #4). Values and grads must match the
+    per-member XLA path."""
+    from varanneal_tpu.models import nakl, NAKL_P_TRUE
+    from varanneal_tpu.twin import nakl_twin
+    tw = nakl_twin(N=18, dt=0.04, sigma=1.0, seed=7, seg=6)
+    spec = build_spec(nakl, 4, tw["V"], tw["t"], [0], 1.0,
+                      disc="SimpsonHermite", P=np.asarray(NAKL_P_TRUE),
+                      pidx=[1, 2, 3, 4, 5], stim=tw["stim"])
+    fe = make_fe_pallas(spec, block_n=8)
+    rng = np.random.default_rng(5)
+    B = 3
+    Xb = jnp.asarray(rng.normal(size=(B, spec.N_f, spec.D)))
+    pestb = jnp.asarray(rng.uniform(0.5, 1.5, size=(B, 5))
+                        * np.asarray([120., 50., 20., -77., 0.3]))
+    if rf_kind == "scalar":
+        rf = jnp.asarray(3e-3)
+    else:
+        rf = jnp.asarray(rng.uniform(0.5, 2.0,
+                                     size=(spec.N_f - 1, spec.D)))
+    from varanneal_tpu.ops.action import merge_params, model_error
+
+    def ref_one(X, pe):
+        return model_error(spec, X, merge_params(spec, pe, X.dtype), rf)
+
+    vals = jax.vmap(lambda X, pe: fe(X, pe, rf))(Xb, pestb)
+    refs = jax.vmap(ref_one)(Xb, pestb)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(refs),
+                               rtol=1e-11)
+    # grads through the vmapped custom_vjp (the ensemble-ladder path)
+    g_got = jax.jit(jax.vmap(jax.grad(
+        lambda X, pe: fe(X, pe, rf), argnums=(0, 1))))(Xb, pestb)
+    g_ref = jax.jit(jax.vmap(jax.grad(ref_one, argnums=(0, 1))))(Xb, pestb)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_ref[0]),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=1e-10, atol=1e-13)
+    # broadcast pest (unbatched under vmap) also hits the fast path
+    v2 = jax.vmap(lambda X: fe(X, pestb[0], rf))(Xb)
+    r2 = jax.vmap(lambda X: ref_one(X, pestb[0]))(Xb)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(r2), rtol=1e-11)
+
+
+def test_fe_sh_batched_inside_vmapped_while_ladder():
+    """The production path: SH Pallas action inside the bounded-L-BFGS
+    lax.while_loop under an ensemble vmap. Regression for the custom_vmap
+    batched-consts assertion (constants must be threaded as explicit
+    arguments, not closures). Ladder-level agreement is ulp-seeded path
+    divergence, so tolerance is loose; per-eval parity is pinned at 1e-11
+    by the other tests."""
+    from varanneal_tpu.models import nakl, NAKL_P_TRUE
+    from varanneal_tpu.twin import nakl_twin
+    from varanneal_tpu.kernels.fe_pallas import select_action
+    from varanneal_tpu.opt import LBFGSOptions
+    from varanneal_tpu.anneal import run_ladder
+    tw = nakl_twin(N=18, dt=0.04, sigma=1.0, seed=7, seg=6)
+    spec = build_spec(nakl, 4, tw["V"], tw["t"], [0], 1.0,
+                      disc="SimpsonHermite", P=np.asarray(NAKL_P_TRUE),
+                      pidx=[1, 2, 3, 4, 5], stim=tw["stim"])
+    rng = np.random.default_rng(0)
+    xp0 = jnp.asarray(rng.normal(size=(2, spec.n_dof)))
+    opts = LBFGSOptions(maxiter=8, pgtol=1e-10)
+    betas = jnp.arange(2.0)
+    outs = {}
+    for engine in ("xla", "pallas"):
+        act, parts = select_action(spec, 1e-3, engine=engine,
+                                   dtype=np.float64, block_n=8)
+        lad = jax.jit(jax.vmap(
+            lambda z, b: run_ladder(act, parts, z, b, 1e-3, 1.6,
+                                    opts=opts, store_paths=False),
+            in_axes=(0, None)))
+        outs[engine] = np.asarray(lad(xp0, betas).A)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=5e-4)
+
+
 def test_fe_unsupported_fallback():
     """Time-dependent parameters stay on the XLA path."""
     rng = np.random.default_rng(0)

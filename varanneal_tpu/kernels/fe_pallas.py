@@ -469,6 +469,78 @@ def _make_fe_pallas_onestep(spec, block_n, pallas_backward):
                             pallas_backward)
 
 
+def _kern_sh_fwd_b(spec, has_stim, *refs):
+    """Batched forward SH block: ensemble batch on the LEADING GRID AXIS
+    (grid (B, n_blocks)); x blocks are (1, block_k, D_pad) per member,
+    stimulus/weights shared across the batch. Round-2 measured loss under
+    plain vmap (batch folds into the block, VMEM forces tiny blocks —
+    PARITY A/B table) is what this layout removes: block_k stays at its
+    winning size regardless of B."""
+    if has_stim:
+        (xe0_ref, xm_ref, xe1_ref, se0_ref, sm_ref, se1_ref,
+         ws_ref, wh_ref, p_ref, out_ref) = refs
+        se0, sm, se1 = se0_ref[...], sm_ref[...], se1_ref[...]
+    else:
+        (xe0_ref, xm_ref, xe1_ref, ws_ref, wh_ref, p_ref, out_ref) = refs
+        se0 = sm = se1 = None
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    D = spec.D
+    xe0 = xe0_ref[0, :, :D]
+    block_k = xe0.shape[0]
+    te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
+    S, H, _ = _sh_residuals(spec, te0, xe0, xm_ref[0, :, :D],
+                            xe1_ref[0, :, :D], p_ref[0], se0, sm, se1)
+    out_ref[b, i] = (jnp.sum(ws_ref[:, :D] * S * S)
+                     + jnp.sum(wh_ref[:, :D] * H * H))
+
+
+def _kern_sh_bwd_b(spec, NP, has_stim, *refs):
+    """Batched backward SH block (see _kern_sh_bwd for the adjoint)."""
+    if has_stim:
+        (xe0_ref, xm_ref, xe1_ref, se0_ref, sm_ref, se1_ref,
+         ws_ref, wh_ref, p_ref, ge0_ref, gm_ref, ge1_ref, gp_ref) = refs
+        se0, sm, se1 = se0_ref[...], sm_ref[...], se1_ref[...]
+    else:
+        (xe0_ref, xm_ref, xe1_ref, ws_ref, wh_ref, p_ref,
+         ge0_ref, gm_ref, ge1_ref, gp_ref) = refs
+        se0 = sm = se1 = None
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    D = spec.D
+    h = spec.dt
+    p = p_ref[0]
+    xe0, xm, xe1 = xe0_ref[0, :, :D], xm_ref[0, :, :D], xe1_ref[0, :, :D]
+    block_k = xe0.shape[0]
+    te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
+    S, H, _ = _sh_residuals(spec, te0, xe0, xm, xe1, p, se0, sm, se1)
+    WS = ws_ref[:, :D] * S
+    WH = wh_ref[:, :D] * H
+    v0 = -(h / 6.0) * WS - (h / 8.0) * WH
+    vm = -(4.0 * h / 6.0) * WS
+    v1 = -(h / 6.0) * WS + (h / 8.0) * WH
+
+    _, vjp0 = jax.vjp(lambda xx, pp: _call_f(spec, te0, xx, pp, se0),
+                      xe0, p)
+    _, vjpm = jax.vjp(lambda xx, pp: _call_f(spec, te0 + h / 2.0, xx, pp,
+                                             sm), xm, p)
+    _, vjp1 = jax.vjp(lambda xx, pp: _call_f(spec, te0 + h, xx, pp, se1),
+                      xe1, p)
+    x0b, p0b = vjp0(v0)
+    xmb, pmb = vjpm(vm)
+    x1b, p1b = vjp1(v1)
+
+    ge0_ref[0, :, :D] = -WS - 0.5 * WH + x0b
+    gm_ref[0, :, :D] = WH + xmb
+    ge1_ref[0, :, :D] = WS - 0.5 * WH + x1b
+    if D < ge0_ref.shape[-1]:          # static; see _kern_bwd
+        ge0_ref[0, :, D:] = jnp.zeros_like(ge0_ref[0, :, D:])
+        gm_ref[0, :, D:] = jnp.zeros_like(gm_ref[0, :, D:])
+        ge1_ref[0, :, D:] = jnp.zeros_like(ge1_ref[0, :, D:])
+    for j in range(NP):
+        gp_ref[b, i, j] = p0b[j] + pmb[j] + p1b[j]
+
+
 def _make_fe_pallas_sh(spec, block_n, pallas_backward):
     """Hermite–Simpson: block over the M = (N_f-1)/2 intervals with
     even/mid/even strided views; zero-weight rows mask padding."""
@@ -492,6 +564,24 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
                 [X, jnp.broadcast_to(X[-1:], (extra,) + X.shape[1:])],
                 axis=0)
         return jnp.pad(X, ((0, 0), (0, width_to - X.shape[1])))
+
+    NPest = spec.NPest
+    # framework constants threaded as EXPLICIT custom_vmap arguments: a
+    # custom_vmap'd function must not close over array constants (its
+    # jaxpr consts) — under a vmapped lax.while_loop (the L-BFGS inner
+    # loop) JAX instantiates such consts as batched and custom_vmap's
+    # ClosedRule asserts on them. The rule slices [0] off any
+    # batched-broadcast constant instead.
+    pbase_c = jnp.asarray(np.asarray(spec.P_base, np.float64))
+    pidx_c = jnp.asarray(np.asarray(spec.pidx, np.int32))
+    stim_c = (jnp.asarray(np.asarray(spec.stim_f, np.float64))
+              if has_stim else jnp.zeros((1, 1)))
+
+    def _merge(pest, pbase, pidx, dtype):
+        P = pbase.astype(dtype)
+        if NPest:
+            P = P.at[pidx].set(pest.astype(dtype))
+        return P
 
     def _views(Xp):
         return Xp[0:-1:2][:M_pad], Xp[1::2][:M_pad], Xp[2::2][:M_pad]
@@ -517,12 +607,12 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
     sblk = pl.BlockSpec((block_k, S_pad), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
 
-    def _args(X, rf, dtype):
+    def _args(X, rf, dtype, stim):
         Xp = _pad_rows(X, D_pad)
         xe0, xm, xe1 = _views(Xp)
         args, specs = [xe0, xm, xe1], [xblk, xblk, xblk]
         if has_stim:
-            Sp = _pad_rows(jnp.asarray(spec.stim_f, dtype), S_pad)
+            Sp = _pad_rows(stim.astype(dtype), S_pad)
             args += list(_views(Sp))
             specs += [sblk, sblk, sblk]
         ws, wh = _weights(rf, dtype)
@@ -530,10 +620,10 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
         specs += [xblk, xblk]
         return args, specs
 
-    def _forward_pallas(X, pest, rf):
+    def _forward_pallas(X, pest, rf, pbase, pidx, stim):
         dtype = X.dtype
-        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
-        args, specs = _args(X, rf, dtype)
+        P = jnp.reshape(_merge(pest, pbase, pidx, dtype), (1, -1))
+        args, specs = _args(X, rf, dtype, stim)
         kern = functools.partial(_kern_sh_fwd, spec, has_stim)
         partials = pl.pallas_call(
             kern,
@@ -545,10 +635,10 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
         )(*args, P)
         return jnp.sum(partials) / norm
 
-    def _backward_pallas(X, pest, rf, g):
+    def _backward_pallas(X, pest, rf, g, pbase, pidx, stim):
         dtype = X.dtype
-        P = jnp.reshape(_action.merge_params(spec, pest, dtype), (1, -1))
-        args, specs = _args(X, rf, dtype)
+        P = jnp.reshape(_merge(pest, pbase, pidx, dtype), (1, -1))
+        args, specs = _args(X, rf, dtype, stim)
         np_out = max(NP, 1)
         kern = functools.partial(_kern_sh_bwd, spec, NP, has_stim)
         ge0, gm, ge1, gp_parts = pl.pallas_call(
@@ -575,16 +665,185 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
         gx = gx.at[0::2].set(g_even).at[1::2].set(gm)
         gx = scale * gx
         gp_full = scale * jnp.sum(gp_parts, axis=0)[:NP]
-        gpest = (gp_full[np.asarray(spec.pidx, np.int32)]
-                 if spec.NPest else jnp.zeros((0,), dtype))
+        gpest = (gp_full[pidx] if NPest else jnp.zeros((0,), dtype))
         return gx, gpest
 
-    return _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
-                            pallas_backward)
+    # ---- batched variants: ensemble batch as a LEADING GRID AXIS -------
+    bxblk = pl.BlockSpec((1, block_k, D_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    shared_xblk = pl.BlockSpec((block_k, D_pad), lambda b, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    shared_sblk = pl.BlockSpec((block_k, S_pad), lambda b, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+
+    def _pad_rows_b(X, width_to):
+        extra = rows_need - X.shape[1]
+        if extra:
+            X = jnp.concatenate(
+                [X, jnp.broadcast_to(X[:, -1:],
+                                     (X.shape[0], extra) + X.shape[2:])],
+                axis=1)
+        return jnp.pad(X, ((0, 0), (0, 0), (0, width_to - X.shape[2])))
+
+    def _args_b(Xb, rf, dtype, stim):
+        Xp = _pad_rows_b(Xb, D_pad)
+        xe0 = Xp[:, 0:-1:2][:, :M_pad]
+        xm = Xp[:, 1::2][:, :M_pad]
+        xe1 = Xp[:, 2::2][:, :M_pad]
+        args, specs = [xe0, xm, xe1], [bxblk, bxblk, bxblk]
+        if has_stim:
+            Sp = _pad_rows(stim.astype(dtype), S_pad)
+            args += list(_views(Sp))
+            specs += [shared_sblk, shared_sblk, shared_sblk]
+        ws, wh = _weights(rf, dtype)
+        args += [ws, wh]
+        specs += [shared_xblk, shared_xblk]
+        return args, specs
+
+    def _pblk():
+        return pl.BlockSpec((1, NP), lambda b, i: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _forward_pallas_b(Xb, pestb, rf, pbase, pidx, stim):
+        dtype = Xb.dtype
+        B = Xb.shape[0]
+        Pb = jax.vmap(lambda pe: _merge(pe, pbase, pidx, dtype))(pestb)
+        args, specs = _args_b(Xb, rf, dtype, stim)
+        kern = functools.partial(_kern_sh_fwd_b, spec, has_stim)
+        partials = pl.pallas_call(
+            kern,
+            grid=(B, n_blocks),
+            in_specs=specs + [_pblk()],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_blocks), dtype),
+            interpret=_INTERPRET[0],
+        )(*args, Pb)
+        return jnp.sum(partials, axis=1) / norm
+
+    def _backward_pallas_b(Xb, pestb, rf, gb, pbase, pidx, stim):
+        dtype = Xb.dtype
+        B = Xb.shape[0]
+        Pb = jax.vmap(lambda pe: _merge(pe, pbase, pidx, dtype))(pestb)
+        args, specs = _args_b(Xb, rf, dtype, stim)
+        np_out = max(NP, 1)
+        kern = functools.partial(_kern_sh_bwd_b, spec, NP, has_stim)
+        ge0, gm, ge1, gp_parts = pl.pallas_call(
+            kern,
+            grid=(B, n_blocks),
+            in_specs=specs + [_pblk()],
+            out_specs=(bxblk, bxblk, bxblk,
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            out_shape=(jax.ShapeDtypeStruct((B, M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((B, M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((B, M_pad, D_pad), dtype),
+                       jax.ShapeDtypeStruct((B, n_blocks, np_out), dtype)),
+            interpret=_INTERPRET[0],
+        )(*args, Pb)
+        scale = (2.0 * gb / norm)[:, None, None]
+        ge0 = ge0[:, :M, : spec.D]
+        gm = gm[:, :M, : spec.D]
+        ge1 = ge1[:, :M, : spec.D]
+        zeros = jnp.zeros((B, 1, spec.D), dtype)
+        g_even = (jnp.concatenate([ge0, zeros], axis=1)
+                  + jnp.concatenate([zeros, ge1], axis=1))   # (B, M+1, D)
+        gx = jnp.zeros((B, spec.N_f, spec.D), dtype)
+        gx = gx.at[:, 0::2].set(g_even).at[:, 1::2].set(gm)
+        gx = scale * gx
+        gp_full = (2.0 * gb / norm)[:, None] * jnp.sum(gp_parts,
+                                                       axis=1)[:, :NP]
+        gpest = (gp_full[:, pidx]
+                 if NPest else jnp.zeros((B, 0), dtype))
+        return gx, gpest
+
+    # ---- custom_vjp whose fwd/bwd carry custom_vmap rules --------------
+    # Under a plain vmap (the ensemble path) the SH kernels dispatch to
+    # the batched-grid implementations so the batch lands on the kernel
+    # grid, not inside the block (the round-2 0.26x vmap loss). Rare
+    # shapes (per-member rf, nested vmap, NP == 0) fall back to a
+    # sequential lax.map of the single-member kernel.
+    from jax.custom_batching import custom_vmap
+
+    def _fe_xla(X, pest, rf):
+        P = _action.merge_params(spec, pest, X.dtype)
+        return _action.model_error(spec, X, P, rf)
+
+    def _unb(v, is_batched):
+        return v[0] if is_batched else v
+
+    fwd_any = custom_vmap(_forward_pallas)
+
+    @fwd_any.def_vmap
+    def _fwd_rule(axis_size, in_batched, X, pest, rf, pbase, pidx, stim):
+        xb, pb, rb, bb, ib, sb = in_batched
+        pbase_, pidx_, stim_ = (_unb(pbase, bb), _unb(pidx, ib),
+                                _unb(stim, sb))
+        if not rb and xb and jnp.ndim(X) == 3 and spec.NP > 0:
+            return _forward_pallas_b(X, _bcast(pest, pb, axis_size), rf,
+                                     pbase_, pidx_, stim_), True
+        out = jax.lax.map(
+            lambda a: _forward_pallas(*a, pbase_, pidx_, stim_),
+            (_bcast(X, xb, axis_size), _bcast(pest, pb, axis_size),
+             _bcast(rf, rb, axis_size)))
+        return out, True
+
+    bwd_any = custom_vmap(_backward_pallas)
+
+    @bwd_any.def_vmap
+    def _bwd_rule(axis_size, in_batched, X, pest, rf, g, pbase, pidx,
+                  stim):
+        xb, pb, rb, gb, bb, ib, sb = in_batched
+        pbase_, pidx_, stim_ = (_unb(pbase, bb), _unb(pidx, ib),
+                                _unb(stim, sb))
+        if not rb and xb and jnp.ndim(X) == 3 and spec.NP > 0:
+            return (_backward_pallas_b(X, _bcast(pest, pb, axis_size), rf,
+                                       _bcast(g, gb, axis_size),
+                                       pbase_, pidx_, stim_),
+                    (True, True))
+        out = jax.lax.map(
+            lambda a: _backward_pallas(*a, pbase_, pidx_, stim_),
+            (_bcast(X, xb, axis_size), _bcast(pest, pb, axis_size),
+             _bcast(rf, rb, axis_size), _bcast(g, gb, axis_size)))
+        return out, (True, True)
+
+    @jax.custom_vjp
+    def fe(X, pest, rf):
+        return fwd_any(X, pest, rf, pbase_c, pidx_c, stim_c)
+
+    def fwd(X, pest, rf):
+        out = fwd_any(X, pest, rf, pbase_c, pidx_c, stim_c)
+        return out, (X, pest, rf, out)
+
+    def bwd(res, g):
+        X, pest, rf, fe_val = res
+        rf_a = jnp.asarray(rf)
+        if pallas_backward:
+            gx, gpest = bwd_any(X, pest, rf, g, pbase_c, pidx_c, stim_c)
+        else:
+            gx, gpest = jax.grad(_fe_xla, argnums=(0, 1))(X, pest, rf)
+            gx, gpest = g * gx, g * gpest
+        if rf_a.ndim == 0:
+            # FE is linear in a scalar rf: dFE/drf = FE / rf, for free
+            grf = g * fe_val / rf_a
+        else:
+            grf = g * jax.grad(_fe_xla, argnums=2)(X, pest, rf)
+        return gx, gpest, grf
+
+    fe.defvjp(fwd, bwd)
+    return fe
+
+
+def _bcast(v, is_batched, axis_size):
+    if is_batched:
+        return v
+    v = jnp.asarray(v)
+    return jnp.broadcast_to(v, (axis_size,) + v.shape)
 
 
 def _wrap_custom_vjp(spec, _forward_pallas, _backward_pallas,
                      pallas_backward):
+    """Plain custom_vjp (one-step discs): vmap folds the batch into the
+    kernel block, which is the measured-WIN layout at D >= 256 (PARITY
+    A/B table). The SH builder wires its own batched-grid custom_vmap."""
     def _fe_xla(X, pest, rf):
         P = _action.merge_params(spec, pest, X.dtype)
         return _action.model_error(spec, X, P, rf)
