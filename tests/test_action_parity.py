@@ -149,3 +149,67 @@ def test_nakl_model_parity_and_stim():
     A_j = float(parts(jnp.asarray(XP), 1e-3)[0])
     A_o = orc.action(XP, 1e-3)[0]
     assert A_j == pytest.approx(A_o, rel=1e-12)
+
+
+def test_compensated_action_parity_and_accuracy():
+    """compensated=True must agree with the plain action in f64 (the sum
+    is already exact there to ~ulp) and must be at least as close to the
+    f64 truth as the plain f32 sum on a large reduction."""
+    import jax
+    import jax.numpy as jnp
+    from varanneal_tpu.models import lorenz96
+    from varanneal_tpu.ops import build_spec, make_action
+    from varanneal_tpu.ops.action import comp_sum
+    import math
+    rng = np.random.default_rng(0)
+    D, N_data = 20, 201
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 8))
+    spec = build_spec(lorenz96, D, Y, t, list(range(8)), 4.0,
+                      disc="trapezoid", P=np.array([8.17]), pidx=[0])
+    a_plain, _ = make_action(spec)
+    a_comp, _ = make_action(spec, compensated=True)
+    xp64 = jnp.asarray(rng.normal(size=spec.n_dof))
+    rf = 3.7e2
+    A64p = float(a_plain(xp64, rf))
+    A64c = float(a_comp(xp64, rf))
+    assert abs(A64c - A64p) / abs(A64p) < 1e-14
+    # f32 decision path: the compensated action returns an f64 SCALAR
+    # (vector math stays f32) and must beat the one-f32-ulp floor of the
+    # plain sum by >=10x against the f64-on-same-f32-inputs reference
+    xp32 = xp64.astype(jnp.float32)
+    A32p = float(jax.jit(a_plain)(xp32, jnp.float32(rf)))
+    out_c = jax.jit(a_comp)(xp32, jnp.float32(rf))
+    assert out_c.dtype == jnp.float64
+    A32c = float(out_c)
+    Aref = float(a_plain(xp32.astype(jnp.float64), float(rf)))
+    assert abs(A32c - Aref) * 10 <= abs(A32p - Aref)
+    # comp_sum is exact to output rounding on an adversarial vector
+    x = np.concatenate([rng.normal(size=4096) * 1e4,
+                        rng.normal(size=4096) * 1e-4]).astype(np.float32)
+    exact = math.fsum(x.astype(np.float64))
+    got = float(jax.jit(comp_sum)(jnp.asarray(x)))
+    assert abs(got - exact) <= 4 * abs(exact) * np.finfo(np.float32).eps
+
+
+def test_facade_compensated_kwarg():
+    import jax.numpy as jnp
+    from varanneal_tpu.api import Annealer
+    from varanneal_tpu.models import lorenz96
+    rng = np.random.default_rng(2)
+    D, N_data = 6, 13
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    ann = Annealer()
+    ann.set_model(lorenz96, D)
+    ann.set_data(Y, t=t)
+    X0 = rng.normal(size=(N_data, D))
+    ann.anneal(X0, np.array([8.0]), 1.7, np.arange(4), 4.0, 1e-4,
+               [0, 2, 4], [0], opt_args=dict(maxiter=10),
+               compensated=True)
+    assert np.all(np.isfinite(ann.A_array))
+    import pytest
+    with pytest.raises(ValueError):
+        ann.anneal(X0, np.array([8.0]), 1.7, np.arange(4), 4.0, 1e-4,
+                   [0, 2, 4], [0], opt_args=dict(maxiter=10),
+                   compensated=True, engine="pallas")

@@ -176,7 +176,8 @@ class Annealer:
                opt_args=None, adolcID=0, dtype=None, track_paths=True,
                verbose=False, checkpoint_path=None, checkpoint_every=10,
                resume=True, R_time_dependent=None, engine="auto",
-               repeats=1, snapshot_beta=None, checkpoint_meta=None):
+               repeats=1, snapshot_beta=None, checkpoint_meta=None,
+               compensated=False):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -197,7 +198,11 @@ class Annealer:
         ``snapshot_beta``: record the decision state right after this many
         rungs (stored as ``self.XP_snapshot`` — the f64-polish restart
         point, PARITY.md two-phase recipe); ``checkpoint_meta``: dict of
-        run-identity scalars validated on checkpoint resume.
+        run-identity scalars validated on checkpoint resume;
+        ``compensated``: accumulate the ME/FE quadratic sums with the
+        two-float exact-sum tree (``ops.action.comp_sum`` — removes f32
+        reduction noise; measured basin-depth effect in PARITY.md;
+        forces the XLA engine).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -243,8 +248,17 @@ class Annealer:
         opts = make_lbfgs_options(opt_args, dtype)
         betas = np.asarray(beta_array, dtype=dtype)
 
-        from varanneal_tpu.kernels.fe_pallas import select_action
-        act, parts = select_action(spec, rf0, engine=engine, dtype=dtype)
+        if compensated:
+            if engine == "pallas":
+                raise ValueError(
+                    "compensated=True is implemented on the XLA engine "
+                    "only (the Pallas accumulator is per-block f32)")
+            act, parts = make_action(spec, compensated=True)
+            act.engine = "xla"
+        else:
+            from varanneal_tpu.kernels.fe_pallas import select_action
+            act, parts = select_action(spec, rf0, engine=engine,
+                                       dtype=dtype)
         inner, residual_fn, lm_opts, tnc_opts = "lbfgs", None, None, None
         if method in ("LM", "GN"):
             from varanneal_tpu.opt.lm import make_residual_fn, LMOptions

@@ -37,6 +37,12 @@ class AnnealConfig:
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 10
     resume: bool = True
+    R_time_dependent: Optional[bool] = None
+    engine: str = "auto"
+    repeats: int = 1
+    snapshot_beta: Optional[int] = None
+    checkpoint_meta: Optional[dict] = None
+    compensated: bool = False
 
     def run(self, annealer, X0, P0, **overrides):
         kw = dataclasses.asdict(self)

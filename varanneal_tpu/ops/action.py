@@ -68,61 +68,109 @@ def unpack(spec: ProblemSpec, XP):
     return X, P
 
 
-def _quad(R, d):
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (s = fl(a+b), e = the
+    round-off), elementwise."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def comp_sum(x):
+    """Compensated (two-float) sum of all elements of ``x``: a vectorized
+    binary-tree reduction where every pairwise add carries its exact
+    round-off in a parallel ``lo`` stream. All VECTOR math stays in the
+    input dtype (TPU-safe: no emulated-f64 vector ops, no f64 compile
+    path); only the final SCALAR (hi, lo) pair is combined in f64 when
+    x64 is enabled, so an f32 action value keeps ~f64 effective accuracy
+    of the sum instead of being re-rounded to one f32 ulp — that final
+    rounding is what makes plain-f32 action DIFFERENCES unresolvable in
+    the high-rf line searches (PARITY.md dtype study; VERDICT r02
+    next-round #3b). log2(N) vectorized steps, ~4 flops/element."""
+    import jax as _jax
+    x = jnp.ravel(x)
+    hi = x
+    lo = jnp.zeros_like(x)
+    while hi.shape[0] > 1:
+        n = hi.shape[0]
+        if n % 2:
+            hi = jnp.concatenate([hi, jnp.zeros((1,), hi.dtype)])
+            lo = jnp.concatenate([lo, jnp.zeros((1,), lo.dtype)])
+            n += 1
+        h1, h2 = hi[: n // 2], hi[n // 2:]
+        l1, l2 = lo[: n // 2], lo[n // 2:]
+        hi, e = _two_sum(h1, h2)
+        lo = l1 + l2 + e
+    if x.dtype == jnp.float32 and _jax.config.jax_enable_x64:
+        return (hi[0].astype(jnp.float64) + lo[0].astype(jnp.float64))
+    return hi[0] + lo[0]
+
+
+def _quad(R, d, compensated=False):
     """Quadratic contraction sum of R against residual rows d (N, K).
 
     R: scalar -> R * sum(d^2); (N, K) -> sum(R * d^2);
-    (N, K, K) -> sum_n d_n . R_n . d_n.
+    (N, K, K) -> sum_n d_n . R_n . d_n. ``compensated``: accumulate with
+    :func:`comp_sum` (two-float exact-sum tree) instead of a plain sum.
     """
     R = jnp.asarray(R, dtype=d.dtype)
+    _sum = comp_sum if compensated else jnp.sum
     if R.ndim == 0:
-        return R * jnp.sum(d * d)
+        return R * _sum(d * d)
     if R.ndim == 2:
-        return jnp.sum(R * d * d)
+        return _sum(R * d * d)
+    if compensated:
+        return comp_sum(jnp.einsum("nk,nkl->nl", d, R) * d)
     return jnp.einsum("nk,nkl,nl->", d, R, d)
 
 
-def measurement_error(spec: ProblemSpec, X):
+def measurement_error(spec: ProblemSpec, X, compensated=False):
     """ME = (1/(L*N_data)) * quad(RM, x_obs - Y). The [:N_data] slice is a
     no-op on exact grids and drops trailing rows on sharding-padded grids
     (see spec.pad_spec_time)."""
     x_obs = X[:: spec.obs_stride][: spec.N_data,
                                   np.asarray(spec.Lidx, dtype=np.int32)]
     diff = x_obs - jnp.asarray(spec.Y, dtype=X.dtype)
-    return _quad(spec.RM, diff) / (spec.L * spec.N_data)
+    return _quad(spec.RM, diff, compensated) / (spec.L * spec.N_data)
 
 
-def model_error(spec: ProblemSpec, X, P, rf):
+def model_error(spec: ProblemSpec, X, P, rf, compensated=False):
     """FE = (1/(D*(N_f-1))) * quad(rf, residual rows)."""
     res = model_residuals(spec, X, P)
+    _sum = comp_sum if compensated else jnp.sum
     if spec.disc == "SimpsonHermite":
         simpson, hermite = res
         rf = jnp.asarray(rf, dtype=X.dtype)
         if rf.ndim == 0:
-            ferr = rf * (jnp.sum(simpson * simpson)
-                         + jnp.sum(hermite * hermite))
+            ferr = rf * (_sum(simpson * simpson)
+                         + _sum(hermite * hermite))
         else:
             # pair rf rows explicitly with the residual count: on
             # sharding-padded (even-N_f) grids rf has one dangling
             # zero-weight row beyond the last interval
             M = (spec.N_f - 1) // 2
-            ferr = (_quad(rf[: 2 * M: 2], simpson)
-                    + _quad(rf[1: 2 * M: 2], hermite))
+            ferr = (_quad(rf[: 2 * M: 2], simpson, compensated)
+                    + _quad(rf[1: 2 * M: 2], hermite, compensated))
     else:
-        ferr = _quad(rf, res)
+        ferr = _quad(rf, res, compensated)
     return ferr / (spec.D * (spec.N_f - 1))
 
 
-def make_action(spec: ProblemSpec):
+def make_action(spec: ProblemSpec, compensated: bool = False):
     """Build the pure action functions on the FLAT decision vector.
 
     Returns ``(action, action_parts)`` with signatures
     ``action(XP, rf) -> A`` and ``action_parts(XP, rf) -> (A, ME, FE)``.
+    ``compensated=True`` accumulates the ME/FE quadratic sums with the
+    two-float exact-sum tree (:func:`comp_sum`) — same asymptotic cost,
+    removes the sqrt(N)-growth reduction noise that erodes the f32
+    action floor at high rf (PARITY.md dtype study).
     """
     def action_parts(XP, rf):
         X, P = unpack(spec, XP)
-        me = measurement_error(spec, X)
-        fe = model_error(spec, X, P, rf)
+        me = measurement_error(spec, X, compensated)
+        fe = model_error(spec, X, P, rf, compensated)
         return me + fe, me, fe
 
     def action(XP, rf):
