@@ -192,6 +192,43 @@ def test_compensated_action_parity_and_accuracy():
     assert abs(got - exact) <= 4 * abs(exact) * np.finfo(np.float32).eps
 
 
+def test_compensated_f32_ladder_dtypes():
+    """A compensated-f32 objective returns f64 scalars while the decision
+    vector stays f32: the solvers must keep x/g in f32 (no silent
+    emulated-f64 model evaluation) and carry f-values in f64. Regression
+    for the while-carry dtype mismatch."""
+    import jax
+    import jax.numpy as jnp
+    from varanneal_tpu.models import nakl, NAKL_P_TRUE
+    from varanneal_tpu.twin import nakl_twin
+    from varanneal_tpu.ops import build_spec, make_action
+    from varanneal_tpu.opt import LBFGSOptions
+    from varanneal_tpu.api import build_bounds
+    from varanneal_tpu.anneal import run_ladder
+    tw = nakl_twin(N=21, dt=0.04, sigma=1.0, seed=7, seg=6)
+    spec = build_spec(nakl, 4, tw["V"].astype(np.float32), tw["t"], [0],
+                      1.0, disc="SimpsonHermite",
+                      P=np.asarray(NAKL_P_TRUE), pidx=[1, 2, 3, 4, 5],
+                      stim=tw["stim"])
+    a, p = make_action(spec, compensated=True)
+    lo, hi = build_bounds(
+        spec, [(-150., 70.), (0., 1.), (0., 1.), (0., 1.),
+               (50., 200.), (20., 80.), (5., 60.), (-100., -50.),
+               (0.05, 1.0)], np.float32)
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.normal(size=(spec.n_dof,)).astype(np.float32))
+    for algo in ("subspace", "projection"):
+        opts = LBFGSOptions(maxiter=10, pgtol=1e-4, ftol=1e-7,
+                            bounded_algo=algo)
+        r = jax.jit(lambda z: run_ladder(
+            a, p, z, jnp.arange(2.0, dtype=jnp.float32),
+            jnp.float32(1e-3), 1.6, lower=lo, upper=hi, opts=opts,
+            store_paths=False))(xp)
+        assert np.asarray(r.XP).dtype == np.float32
+        assert np.asarray(r.A).dtype == np.float64
+        assert np.all(np.isfinite(np.asarray(r.A)))
+
+
 def test_facade_compensated_kwarg():
     import jax.numpy as jnp
     from varanneal_tpu.api import Annealer

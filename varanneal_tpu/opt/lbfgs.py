@@ -102,8 +102,13 @@ def _tmax_abs(tree):
 
 
 def _axpy(a, x, y):
-    """y + a * x elementwise over the tree (a scalar)."""
-    return _tmap(lambda u, v: v + a * u, x, y)
+    """y + a * x elementwise over the tree (a scalar). ``a`` is cast to
+    each leaf's dtype: with a compensated-f32 objective the f-values (and
+    step lengths derived from them) are f64 scalars, and promoting the
+    decision tree to f64 here would both break the while-carry dtypes and
+    silently run the whole model in emulated f64."""
+    return _tmap(lambda u, v: v + a.astype(u.dtype) * u
+                 if hasattr(a, "astype") else v + a * u, x, y)
 
 
 def _scale(a, x):

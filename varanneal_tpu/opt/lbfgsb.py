@@ -246,7 +246,10 @@ def lbfgsb_minimize(value_and_grad, x0, *, lower, upper,
         a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
             value_and_grad, s.x, d, s.f, s.g, jnp.asarray(1.0, dtype),
             a_max, opts)
-        x_new = jnp.clip(s.x + a * d, lo, hi)
+        # a carries the objective's value dtype (f64 scalars under a
+        # compensated-f32 objective) — keep the decision vector in its own
+        # dtype
+        x_new = jnp.clip(s.x + a.astype(s.x.dtype) * d, lo, hi)
 
         # ---- history update (skip on tiny curvature) --------------------
         sv = x_new - s.x
