@@ -489,8 +489,12 @@ def _kern_sh_fwd_b(spec, has_stim, *refs):
     xe0 = xe0_ref[0, :, :D]
     block_k = xe0.shape[0]
     te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
+    # P is a full-array VMEM (B, NP) block — per-row (1, NP) blocking
+    # violates Mosaic's (8, 128)-divisibility rule; a dynamic sublane
+    # slice selects member b's parameter row
+    p = p_ref[pl.dslice(b, 1), :][0]
     S, H, _ = _sh_residuals(spec, te0, xe0, xm_ref[0, :, :D],
-                            xe1_ref[0, :, :D], p_ref[0], se0, sm, se1)
+                            xe1_ref[0, :, :D], p, se0, sm, se1)
     out_ref[b, i] = (jnp.sum(ws_ref[:, :D] * S * S)
                      + jnp.sum(wh_ref[:, :D] * H * H))
 
@@ -509,7 +513,7 @@ def _kern_sh_bwd_b(spec, NP, has_stim, *refs):
     i = pl.program_id(1)
     D = spec.D
     h = spec.dt
-    p = p_ref[0]
+    p = p_ref[pl.dslice(b, 1), :][0]   # see fwd_b
     xe0, xm, xe1 = xe0_ref[0, :, :D], xm_ref[0, :, :D], xe1_ref[0, :, :D]
     block_k = xe0.shape[0]
     te0 = _t_rows(spec, 2 * i * block_k, block_k, xe0.dtype, stride=2)
@@ -701,8 +705,9 @@ def _make_fe_pallas_sh(spec, block_n, pallas_backward):
         return args, specs
 
     def _pblk():
-        return pl.BlockSpec((1, NP), lambda b, i: (b, 0),
-                            memory_space=pltpu.VMEM)
+        # whole (B, NP) parameter table resident in VMEM (tiny); kernels
+        # dynamic-slice their member's row
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def _forward_pallas_b(Xb, pestb, rf, pbase, pidx, stim):
         dtype = Xb.dtype
