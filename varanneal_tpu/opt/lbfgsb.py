@@ -123,7 +123,7 @@ def _cauchy_point(x, g, lo, hi, theta, Wt, Minv, dtype):
                           jnp.cumsum(Wg * ts[:, None], axis=0)])
     a = aW[:-1]                                    # (n, 2m) Σ_fixed t g W
 
-    M = jnp.linalg.inv(Minv)                       # (2m, 2m), cheap
+    M = _dense_inv(Minv)                           # (2m, 2m), cheap
     Ma = a @ M                                     # (n, 2m)
     Mc = c @ M
     f1 = -q - jnp.sum(Mc * a, axis=1)              # cᵀ M a == (cM)·a
@@ -150,6 +150,46 @@ def _cauchy_point(x, g, lo, hi, theta, Wt, Minv, dtype):
     return x_cp, free
 
 
+def _dense_solve(A, b):
+    """Solve the SMALL dense system A x = b (2m x 2m) by Gauss–Jordan
+    elimination with partial pivoting, built from elementwise ops under a
+    fori_loop — deliberately NO ``jnp.linalg.solve``/``inv``: those lower
+    to XLA's LuDecomposition custom call, which the TPU backend
+    implements for F32 only, so an f64 bounded-L-BFGS program fails to
+    compile ("Only F32 and C64 types are implemented in LuDecomposition"
+    — the round-2 'f64 NaKL-SH compiler crash', root-caused round 3).
+    At 2m ~ 10 the sequential loop is negligible. ``b``: (n,) or
+    (n, k)."""
+    n = A.shape[-1]
+    vec = b.ndim == 1
+    B = b[:, None] if vec else b
+    Ab = jnp.concatenate([A, B], axis=-1)
+    idx = jnp.arange(n)
+
+    def step(k, Ab):
+        col = Ab[:, k]
+        mag = jnp.where(idx >= k, jnp.abs(col), -1.0)
+        p = jnp.argmax(mag)
+        rk, rp = Ab[k], Ab[p]
+        Ab = Ab.at[k].set(rp).at[p].set(rk)
+        piv = Ab[k, k]
+        denom = jnp.where(piv == 0, 1.0, piv)
+        row_k = Ab[k] / denom
+        Ab = Ab.at[k].set(row_k)
+        factors = jnp.where(idx == k, 0.0, Ab[:, k])
+        return Ab - factors[:, None] * row_k[None, :]
+
+    Ab = jax.lax.fori_loop(0, n, step, Ab)
+    out = Ab[:, n:]
+    return out[:, 0] if vec else out
+
+
+def _dense_inv(A):
+    """Small dense inverse via :func:`_dense_solve` on the identity (same
+    no-LuDecomposition rationale)."""
+    return _dense_solve(A, jnp.eye(A.shape[-1], dtype=A.dtype))
+
+
 def _subspace_step(x, g, x_cp, free, lo, hi, theta, Wt, Minv, dtype):
     """Direct primal subspace minimization (BLNZ §5.1) from the GCP over
     the free variables, via SMW on B_FF = θI − Ŵ M Ŵᵀ; the step is
@@ -158,8 +198,7 @@ def _subspace_step(x, g, x_cp, free, lo, hi, theta, Wt, Minv, dtype):
     u_cp = x_cp - x
     # r = ∇m(x_cp) = g + B u_cp, restricted to free
     Wu = Wt @ u_cp                                 # (2m,)
-    M = jnp.linalg.inv(Minv)
-    Bu = theta * u_cp - Wt.T @ (M @ Wu)
+    Bu = theta * u_cp - Wt.T @ _dense_solve(Minv, Wu)
     r = (g + Bu) * fm
 
     Wf = Wt * fm[None, :]                          # Ŵᵀ as (2m, n) masked
@@ -167,7 +206,7 @@ def _subspace_step(x, g, x_cp, free, lo, hi, theta, Wt, Minv, dtype):
     G2 = Wf @ Wf.T                                 # ŴᵀŴ (2m, 2m)
     # (θ I − Ŵ M Ŵᵀ)⁻¹ = (1/θ)I + (1/θ²) Ŵ (M⁻¹ − (1/θ)ŴᵀŴ)⁻¹ Ŵᵀ
     K = Minv - G2 / theta
-    inner = jnp.linalg.solve(K, Wr)
+    inner = _dense_solve(K, Wr)
     d = -(r / theta + (Wf.T @ inner) / (theta * theta))
     d = d * fm
 
