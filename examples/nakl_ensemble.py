@@ -134,6 +134,18 @@ def main():
                          "gates slaved to the data voltage via their "
                          "steady-state curves a_inf(V) — round-2 recipe; "
                          "random gates land in V-compensated basins)")
+    ap.add_argument("--f64", action="store_true",
+                    help="run phase 1 in f64 (on-device since the round-3 "
+                         "LuDecomposition fix, opt/lbfgsb.py): no f32 "
+                         "round-off basin loss, no snapshot/polish dance "
+                         "— anneal straight to the top rung")
+    ap.add_argument("--alpha", type=float, default=1.6,
+                    help="ladder base RF(beta)=RF0*alpha^beta (slower "
+                         "annealing = more rungs at the basin-selection "
+                         "stage)")
+    ap.add_argument("--nbeta", type=int, default=None,
+                    help="override the number of rungs (default 61, or "
+                         "41 with --small)")
     ap.add_argument("--protocols", type=int, default=1,
                     help="number of stimulus protocols annealed JOINTLY "
                          "with one shared parameter vector "
@@ -180,9 +192,13 @@ def main():
             args.repeats = int(saved["repeats"])
         if "protocols" in saved:
             args.protocols = int(saved["protocols"])
+        if "alpha" in saved:
+            args.alpha = float(saved["alpha"])
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
+        if args.nbeta is not None:
+            n_beta = int(args.nbeta)
         dt = 0.04
         seed = args.seed
         all_params = args.all_params
@@ -224,10 +240,14 @@ def main():
             lo, hi = build_multi_bounds(specs, bounds, dtype)
         return specs[0], action, parts, lo, hi
 
-    spec, action, parts, lo, hi = make_problem(np.float32)
+    p1_dtype = np.float64 if args.f64 else np.float32
+    spec, action, parts, lo, hi = make_problem(p1_dtype)
     n_state_tot = K * spec.n_state
     reps = max(1, args.repeats)
     snap = args.snap_beta if args.snap_beta is not None else n_beta - 21
+    snap = max(1, min(snap, n_beta))
+    if args.f64:
+        snap = None          # no f32 divergence to snapshot around
 
     if args.load:
         xp_np = saved["xp"]; A = saved["A"]
@@ -274,21 +294,22 @@ def main():
                              for g in gss]
                 blocks.append(np.column_stack([V_fk] + gates).ravel())
             pe = [rng.uniform(*b) for b in pbounds]
-            xp0s.append(np.concatenate(blocks + [pe]).astype(np.float32))
+            xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
         xp = jnp.asarray(np.stack(xp0s))
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
         rf0_arr = np.ascontiguousarray(np.broadcast_to(
-            1e-5 * rf_dir, (spec.N_f - 1, 4))).astype(np.float32)
+            1e-5 * rf_dir, (spec.N_f - 1, 4))).astype(p1_dtype)
         t0 = time.time()
         meta = dict(N=N, n_beta=n_beta, dt=dt, seed=seed,
                     all_params=all_params, fix_cm=args.fix_cm,
                     gate_rf_scale=args.gate_rf_scale, repeats=reps,
-                    ninit=B, protocols=K)
+                    ninit=B, protocols=K, alpha=args.alpha,
+                    f64=bool(args.f64))
         res = run_ladder_checkpointed(
-            action, parts, xp, np.arange(n_beta, dtype=np.float32),
-            jnp.asarray(rf0_arr), 1.6,
+            action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
+            jnp.asarray(rf0_arr), args.alpha,
             ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
             save_every=args.chunk, lower=lo, upper=hi, opts=opts,
             store_paths=False, batched=True, repeats=reps,
@@ -354,9 +375,9 @@ def main():
     t1 = time.time()
     res_pol = run_ladder_checkpointed(
         action64, parts64, jnp.asarray(src[picks].astype(np.float64)),
-        pol_betas, jnp.asarray(rf0_64), 1.6,
+        pol_betas, jnp.asarray(rf0_64), args.alpha,
         ckpt_path=(stem + "_pol_ckpt.npz" if stem else None),
-        save_every=max(args.chunk, 2), lower=lo64, upper=hi64,
+        save_every=max(args.chunk, 1), lower=lo64, upper=hi64,
         opts=opts64, store_paths=False, batched=True,
         repeats=max(1, args.polish_repeats),
         meta=dict(picks=np.asarray(picks),
