@@ -12,19 +12,19 @@ from varanneal_tpu.opt.lbfgs import _two_loop, _compact_dir
 
 
 def _random_history(rng, m, hlen, head, shape):
-    """Build raw circular buffers with hlen valid (s, y) pairs with s.y>0,
-    written at slots (head-hlen..head-1) mod m."""
-    S = np.zeros((m,) + shape)
-    Y = np.zeros((m,) + shape)
+    """Build a raw JOINT circular buffer (rows [0, m) = s_i, rows [m, 2m)
+    = y_i) with hlen valid (s, y) pairs with s.y>0, written at slots
+    (head-hlen..head-1) mod m."""
+    H = np.zeros((2 * m,) + shape)
     rho = np.zeros(m)
     for j in range(hlen):
         slot = (head - hlen + j) % m
         s = rng.normal(size=shape)
         y = rng.normal(size=shape) * 0.3 + s      # ensure s.y > 0
         assert np.sum(s * y) > 0
-        S[slot], Y[slot] = s, y
+        H[slot], H[m + slot] = s, y
         rho[slot] = 1.0 / np.sum(s * y)
-    return jnp.asarray(S), jnp.asarray(Y), jnp.asarray(rho)
+    return jnp.asarray(H), jnp.asarray(rho)
 
 
 @pytest.mark.parametrize("hlen", [0, 1, 4, 10])
@@ -32,9 +32,9 @@ def _random_history(rng, m, hlen, head, shape):
 def test_compact_equals_two_loop_flat(hlen, head):
     rng = np.random.default_rng(hlen * 10 + head)
     m, n = 10, 37
-    S, Y, rho = _random_history(rng, m, hlen, head, (n,))
+    H, rho = _random_history(rng, m, hlen, head, (n,))
     g = jnp.asarray(rng.normal(size=n))
-    args = (g, S, Y, rho, jnp.asarray(head), jnp.asarray(hlen), m,
+    args = (g, H, rho, jnp.asarray(head), jnp.asarray(hlen), m,
             jnp.float64)
     d1 = np.asarray(_two_loop(*args))
     d2 = np.asarray(_compact_dir(*args))
@@ -44,26 +44,23 @@ def test_compact_equals_two_loop_flat(hlen, head):
 def test_compact_equals_two_loop_pytree():
     rng = np.random.default_rng(5)
     m, hlen, head = 10, 6, 2
-    sa, ya, _ = _random_history(rng, m, hlen, head, (4, 3))
+    ha, _ = _random_history(rng, m, hlen, head, (4, 3))
     # build a consistent 2-leaf pytree history: concatenate a second leaf
-    sb = np.zeros((m, 5))
-    yb = np.zeros((m, 5))
+    hb = np.zeros((2 * m, 5))
     rho = np.zeros(m)
-    Sa = np.asarray(sa).copy()
-    Ya = np.asarray(ya).copy()
+    Ha = np.asarray(ha).copy()
     for j in range(hlen):
         slot = (head - hlen + j) % m
         s2 = rng.normal(size=5)
         y2 = rng.normal(size=5) * 0.3 + s2
-        sb[slot], yb[slot] = s2, y2
-        sy = np.sum(Sa[slot] * Ya[slot]) + np.sum(s2 * y2)
+        hb[slot], hb[m + slot] = s2, y2
+        sy = np.sum(Ha[slot] * Ha[m + slot]) + np.sum(s2 * y2)
         assert sy > 0
         rho[slot] = 1.0 / sy
-    S = {"a": jnp.asarray(Sa), "b": jnp.asarray(sb)}
-    Y = {"a": jnp.asarray(Ya), "b": jnp.asarray(yb)}
+    H = {"a": jnp.asarray(Ha), "b": jnp.asarray(hb)}
     g = {"a": jnp.asarray(rng.normal(size=(4, 3))),
          "b": jnp.asarray(rng.normal(size=5))}
-    args = (g, S, Y, jnp.asarray(rho), jnp.asarray(head),
+    args = (g, H, jnp.asarray(rho), jnp.asarray(head),
             jnp.asarray(hlen), m, jnp.float64)
     d1 = _two_loop(*args)
     d2 = _compact_dir(*args)

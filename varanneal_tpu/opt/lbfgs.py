@@ -186,74 +186,75 @@ def _wolfe_line_search(vag, x, d, f0, g0, a_init, a_max, opts: LBFGSOptions):
         return ~(s.done | s.failed) & (s.i < opts.maxls)
 
     def body(s):
+        # Both line-search stages (bracket / zoom) are cheap scalar math on
+        # the one evaluation below — computing both and SELECTING by stage
+        # (instead of lax.cond) removes a conditional from the inner hot
+        # loop and lets XLA fuse the whole state machine into one scalar
+        # kernel (the per-iteration kernel chain is the measured wall —
+        # PARITY.md roofline).
         f_a, g_a = vag(_axpy(s.a, d, x))
         dphi_a = _tdot(g_a, d).astype(dtype)
         i = s.i + 1
         armijo_fail = (f_a > f0 + c1 * s.a * dphi0)
         nan_bad = ~jnp.isfinite(f_a)
         curv_ok = jnp.abs(dphi_a) <= -c2 * dphi0
+        in_br = s.stage == 0
 
-        def bracket_step(s):
-            # Nocedal-Wright alg. 3.5 bracketing after one eval at s.a.
-            # At the feasible-step cap a_max the curvature condition may be
-            # unattainable — accept on Armijo alone there (L-BFGS-B's
-            # dcsrch stpmax semantics), else bound-capped steps deadlock.
-            at_cap = s.a >= a_max
-            hi_cond = armijo_fail | ((i > 1) & (f_a >= s.f_prev)) | nan_bad
-            accept = ~hi_cond & (curv_ok | at_cap)
-            to_zoom_rev = ~hi_cond & ~curv_ok & ~at_cap & (dphi_a >= 0)
-            enter_zoom = hi_cond | to_zoom_rev
-            a_lo = jnp.where(hi_cond, s.a_prev, s.a)
-            f_lo = jnp.where(hi_cond, s.f_prev, f_a)
-            d_lo = jnp.where(hi_cond, s.d_prev, dphi_a)
-            a_hi = jnp.where(hi_cond, s.a, s.a_prev)
-            f_hi = jnp.where(hi_cond, f_a, s.f_prev)
-            d_hi = jnp.where(hi_cond, dphi_a, s.d_prev)
-            a_zoom = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
-            width = jnp.abs(a_hi - a_lo)
-            a_zoom = jnp.clip(a_zoom,
-                              jnp.minimum(a_lo, a_hi) + 0.1 * width,
-                              jnp.maximum(a_lo, a_hi) - 0.1 * width)
-            a_expand = jnp.minimum(2.0 * s.a, a_max)
-            return s._replace(
-                stage=jnp.where(enter_zoom, 1, 0).astype(jnp.int32),
-                done=accept,
-                failed=nan_bad & (i >= opts.maxls),
-                i=i,
-                a=jnp.where(enter_zoom, a_zoom, a_expand),
-                a_prev=s.a, f_prev=f_a, d_prev=dphi_a,
-                a_lo=a_lo, f_lo=f_lo, d_lo=d_lo,
-                a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
-                a_star=jnp.where(accept, s.a, s.a_star),
-                f_star=jnp.where(accept, f_a, s.f_star),
-                g_star=_where_s(accept, g_a, s.g_star))
+        # ---- bracket stage (Nocedal-Wright alg. 3.5) after one eval at
+        # s.a. At the feasible-step cap a_max the curvature condition may
+        # be unattainable — accept on Armijo alone there (L-BFGS-B's
+        # dcsrch stpmax semantics), else bound-capped steps deadlock.
+        at_cap = s.a >= a_max
+        hi_b = armijo_fail | ((i > 1) & (f_a >= s.f_prev)) | nan_bad
+        accept_b = ~hi_b & (curv_ok | at_cap)
+        to_zoom_rev = ~hi_b & ~curv_ok & ~at_cap & (dphi_a >= 0)
+        enter_zoom = hi_b | to_zoom_rev
+        a_lo_b = jnp.where(hi_b, s.a_prev, s.a)
+        f_lo_b = jnp.where(hi_b, s.f_prev, f_a)
+        d_lo_b = jnp.where(hi_b, s.d_prev, dphi_a)
+        a_hi_b = jnp.where(hi_b, s.a, s.a_prev)
+        f_hi_b = jnp.where(hi_b, f_a, s.f_prev)
+        d_hi_b = jnp.where(hi_b, dphi_a, s.d_prev)
 
-        def zoom_step(s):
-            hi_cond = armijo_fail | (f_a >= s.f_lo) | nan_bad
-            accept = ~hi_cond & curv_ok
-            swap = ~hi_cond & ~curv_ok & (dphi_a * (s.a_hi - s.a_lo) >= 0)
-            a_hi = jnp.where(hi_cond, s.a, jnp.where(swap, s.a_lo, s.a_hi))
-            f_hi = jnp.where(hi_cond, f_a, jnp.where(swap, s.f_lo, s.f_hi))
-            d_hi = jnp.where(hi_cond, dphi_a,
-                             jnp.where(swap, s.d_lo, s.d_hi))
-            a_lo = jnp.where(hi_cond, s.a_lo, s.a)
-            f_lo = jnp.where(hi_cond, s.f_lo, f_a)
-            d_lo = jnp.where(hi_cond, s.d_lo, dphi_a)
-            width = jnp.abs(a_hi - a_lo)
-            a_next = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
-            a_next = jnp.clip(a_next,
-                              jnp.minimum(a_lo, a_hi) + 0.1 * width,
-                              jnp.maximum(a_lo, a_hi) - 0.1 * width)
-            tiny = width <= 1e-14 * jnp.maximum(1.0, jnp.abs(a_lo))
-            return s._replace(
-                done=accept, failed=tiny & ~accept, i=i, a=a_next,
-                a_lo=a_lo, f_lo=f_lo, d_lo=d_lo,
-                a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
-                a_star=jnp.where(accept, s.a, s.a_star),
-                f_star=jnp.where(accept, f_a, s.f_star),
-                g_star=_where_s(accept, g_a, s.g_star))
+        # ---- zoom stage ------------------------------------------------
+        hi_z = armijo_fail | (f_a >= s.f_lo) | nan_bad
+        accept_z = ~hi_z & curv_ok
+        swap = ~hi_z & ~curv_ok & (dphi_a * (s.a_hi - s.a_lo) >= 0)
+        a_hi_z = jnp.where(hi_z, s.a, jnp.where(swap, s.a_lo, s.a_hi))
+        f_hi_z = jnp.where(hi_z, f_a, jnp.where(swap, s.f_lo, s.f_hi))
+        d_hi_z = jnp.where(hi_z, dphi_a, jnp.where(swap, s.d_lo, s.d_hi))
+        a_lo_z = jnp.where(hi_z, s.a_lo, s.a)
+        f_lo_z = jnp.where(hi_z, s.f_lo, f_a)
+        d_lo_z = jnp.where(hi_z, s.d_lo, dphi_a)
 
-        return lax.cond(s.stage == 0, bracket_step, zoom_step, s)
+        # ---- merged next state ----------------------------------------
+        a_lo = jnp.where(in_br, a_lo_b, a_lo_z)
+        f_lo = jnp.where(in_br, f_lo_b, f_lo_z)
+        d_lo = jnp.where(in_br, d_lo_b, d_lo_z)
+        a_hi = jnp.where(in_br, a_hi_b, a_hi_z)
+        f_hi = jnp.where(in_br, f_hi_b, f_hi_z)
+        d_hi = jnp.where(in_br, d_hi_b, d_hi_z)
+        width = jnp.abs(a_hi - a_lo)
+        a_interp = _cubic_min(a_lo, f_lo, d_lo, a_hi, f_hi, d_hi)
+        a_interp = jnp.clip(a_interp,
+                            jnp.minimum(a_lo, a_hi) + 0.1 * width,
+                            jnp.maximum(a_lo, a_hi) - 0.1 * width)
+        a_expand = jnp.minimum(2.0 * s.a, a_max)
+        a_next = jnp.where(in_br & ~enter_zoom, a_expand, a_interp)
+        tiny = width <= 1e-14 * jnp.maximum(1.0, jnp.abs(a_lo))
+        accept = jnp.where(in_br, accept_b, accept_z)
+        failed = jnp.where(in_br, nan_bad & (i >= opts.maxls),
+                           tiny & ~accept)
+        stage = jnp.where(in_br & ~enter_zoom, 0, 1).astype(jnp.int32)
+        return s._replace(
+            stage=stage, done=accept, failed=failed, i=i, a=a_next,
+            a_prev=s.a, f_prev=jnp.where(in_br, f_a, s.f_prev),
+            d_prev=jnp.where(in_br, dphi_a, s.d_prev),
+            a_lo=a_lo, f_lo=f_lo, d_lo=d_lo,
+            a_hi=a_hi, f_hi=f_hi, d_hi=d_hi,
+            a_star=jnp.where(accept, s.a, s.a_star),
+            f_star=jnp.where(accept, f_a, s.f_star),
+            g_star=_where_s(accept, g_a, s.g_star))
 
     s = lax.while_loop(cond, body, init)
 
@@ -337,8 +338,15 @@ class _State(NamedTuple):
     x: object             # pytree
     f: jnp.ndarray
     g: object             # pytree
-    S: object             # pytree of (m, *leaf) step history
-    Yh: object            # pytree of (m, *leaf) grad-diff history
+    H: object             # pytree of (2m, *leaf) JOINT history: rows
+    #                       [0, m) are the steps s_i, rows [m, 2m) the
+    #                       grad-diffs y_i. One buffer (instead of separate
+    #                       S/Y trees) lets the compact direction compute
+    #                       its Gram matrix, its history matvec, and its
+    #                       final contraction in ONE kernel each — the
+    #                       per-iteration sequential-kernel chain is the
+    #                       measured wall at small sizes (PARITY.md
+    #                       roofline: serialization-bound)
     rho: jnp.ndarray      # (m,) 1/(y.s)
     head: jnp.ndarray     # next write slot
     hlen: jnp.ndarray     # valid history length
@@ -352,11 +360,14 @@ def _hist_row(H, i):
     return _tmap(lambda h: jnp.take(h, i, axis=0), H)
 
 
-def _hist_set(H, i, v, keep):
-    return _tmap(lambda h, u: jnp.where(keep, h.at[i].set(u), h), H, v)
+def _hist_set_pair(H, m, i, sv, yv, keep):
+    """Write (s, y) into joint-history rows i and m+i where ``keep``."""
+    return _tmap(
+        lambda h, u, w: jnp.where(keep, h.at[i].set(u).at[m + i].set(w), h),
+        H, sv, yv)
 
 
-def _two_loop(g, S, Yh, rho, head, hlen, m, dtype):
+def _two_loop(g, H, rho, head, hlen, m, dtype):
     """Two-loop recursion, newest-to-oldest via dynamic row gathers."""
     q = g
     alphas = []
@@ -365,22 +376,22 @@ def _two_loop(g, S, Yh, rho, head, hlen, m, dtype):
         i = (head - 1 - j) % m
         idxs.append(i)
         valid = (j < hlen).astype(dtype)
-        s_i = _hist_row(S, i)
-        y_i = _hist_row(Yh, i)
+        s_i = _hist_row(H, i)
+        y_i = _hist_row(H, m + i)
         r_i = jnp.take(rho, i)
         a = valid * r_i * _tdot(s_i, q)
         q = _axpy(-a, y_i, q)
         alphas.append(a)
     i0 = (head - 1) % m
-    y0 = _hist_row(Yh, i0)
-    s0 = _hist_row(S, i0)
+    y0 = _hist_row(H, m + i0)
+    s0 = _hist_row(H, i0)
     yy = _tdot(y0, y0)
     gamma = jnp.where(hlen > 0, _tdot(s0, y0) / jnp.maximum(yy, 1e-300), 1.0)
     r = _scale(gamma, q)
     for j in reversed(range(m)):
         i = idxs[j]
-        s_i = _hist_row(S, i)
-        y_i = _hist_row(Yh, i)
+        s_i = _hist_row(H, i)
+        y_i = _hist_row(H, m + i)
         r_i = jnp.take(rho, i)
         valid = (j < hlen).astype(dtype)
         b = valid * r_i * _tdot(y_i, r)
@@ -415,15 +426,21 @@ def _vec_mat(q, A):
     return _tmap(lambda a: jnp.tensordot(q, a, axes=1), A)
 
 
-def _compact_dir(g, S, Yh, rho, head, hlen, m, dtype):
+def _compact_dir(g, H, rho, head, hlen, m, dtype):
     """L-BFGS direction via the Byrd–Nocedal–Schnabel compact
     representation — numerically the same inverse-Hessian application as
     the two-loop recursion, but expressed as batched matvecs plus (m, m)
     triangular solves, which cuts the sequential-op chain per iteration
     (TPU launch latency) from ~4m to ~6.
 
-        H = γI + [S γY] [[R^{-T}(D+γYᵀY)R^{-1}, -R^{-T}], [-R^{-1}, 0]]
-                  [Sᵀ; γYᵀ],   R = triu(SᵀY), D = diag(SᵀY)
+        Hinv = γI + [S γY] [[R^{-T}(D+γYᵀY)R^{-1}, -R^{-T}], [-R^{-1}, 0]]
+                     [Sᵀ; γYᵀ],   R = triu(SᵀY), D = diag(SᵀY)
+
+    ``H`` is the JOINT (2m, n) history (rows [0, m) = S, rows [m, 2m) = Y),
+    so the Gram matrix (SᵀY and YᵀY as blocks of one product), the history
+    matvec ([Sᵀg; Yᵀg]), and the closing contraction ([q1; γq2]·H) are one
+    batched op each — three kernels where the split-S/Y layout needed six
+    (the serialization wall, PARITY.md roofline).
     """
     del rho
     from jax.scipy.linalg import solve_triangular
@@ -434,8 +451,9 @@ def _compact_dir(g, S, Yh, rho, head, hlen, m, dtype):
     valid = j >= (m - hlen)                 # (m,) bool, oldest..newest
     vf = valid.astype(dtype)
 
-    SY = _mat_rows_dot(S, Yh, m)[ord_][:, ord_]       # [i,j] = s_i . y_j
-    YY = _mat_rows_dot(Yh, Yh, m)[ord_][:, ord_]
+    G = _mat_rows_dot(H, H, 2 * m)                    # one (2m, 2m) Gram
+    SY = G[:m, m:][ord_][:, ord_]                     # [i,j] = s_i . y_j
+    YY = G[m:, m:][ord_][:, ord_]
     mask2 = vf[:, None] * vf[None, :]
     SY = SY * mask2
     YY = YY * mask2
@@ -449,8 +467,9 @@ def _compact_dir(g, S, Yh, rho, head, hlen, m, dtype):
     gamma = jnp.where(hlen > 0, sy_new / jnp.maximum(yy_new, 1e-300),
                       jnp.asarray(1.0, dtype))
 
-    a = _mat_vec(S, g, m)[ord_] * vf                  # Sᵀ g
-    b = _mat_vec(Yh, g, m)[ord_] * vf                 # Yᵀ g
+    ab = _mat_vec(H, g, 2 * m)                        # [Sᵀg; Yᵀg]
+    a = ab[:m][ord_] * vf
+    b = ab[m:][ord_] * vf
 
     u = solve_triangular(R, a, lower=False)           # R^{-1} a
     v = (Dd + gamma * YY) @ u - gamma * b
@@ -458,12 +477,13 @@ def _compact_dir(g, S, Yh, rho, head, hlen, m, dtype):
     q1 = w * vf
     q2 = -u * vf
 
-    # scatter back to raw slot order and contract with the history
-    q1_raw = jnp.zeros(m, dtype).at[ord_].set(q1)
-    q2_raw = jnp.zeros(m, dtype).at[ord_].set(q2)
-    Sq = _vec_mat(q1_raw, S)
-    Yq = _vec_mat(q2_raw, Yh)
-    Hg = _tmap(lambda gi, si, yi: gamma * gi + si + gamma * yi, g, Sq, Yq)
+    # scatter back to raw slot order and contract with the joint history:
+    # Hinv g = γg + S·q1 + γ(Y·q2) = γg + [q1; γq2]·H
+    ord2 = jnp.concatenate([ord_, m + ord_])
+    q_full = jnp.zeros(2 * m, dtype).at[ord2].set(
+        jnp.concatenate([q1, gamma * q2]))
+    Hq = _vec_mat(q_full, H)
+    Hg = _tmap(lambda gi, hi: gamma * gi + hi, g, Hq)
     return _scale(-1.0, Hg)
 
 
@@ -511,11 +531,11 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     f0, g0 = value_and_grad(x0)
 
     def hist0(t):
-        return _tmap(lambda l: jnp.zeros((m,) + l.shape, dtype), t)
+        return _tmap(lambda l: jnp.zeros((2 * m,) + l.shape, dtype), t)
 
     pg0 = _tmax_abs(_proj_grad(x0, g0, lower, upper))
     init = _State(
-        x=x0, f=f0, g=g0, S=hist0(x0), Yh=hist0(x0),
+        x=x0, f=f0, g=g0, H=hist0(x0),
         rho=jnp.zeros((m,), dtype),
         head=jnp.zeros((), jnp.int32), hlen=jnp.zeros((), jnp.int32),
         niter=jnp.zeros((), jnp.int32), nfev=jnp.ones((), jnp.int32),
@@ -536,7 +556,7 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
         g_free = _tmap(lambda a, gi: jnp.where(a, 0.0, gi), active, s.g)
         dir_fn = (_compact_dir if opts.direction == "compact"
                   else _two_loop)
-        d = dir_fn(g_free, s.S, s.Yh, s.rho, s.head, s.hlen, m, dtype)
+        d = dir_fn(g_free, s.H, s.rho, s.head, s.hlen, m, dtype)
         d = _tmap(lambda a, di: jnp.where(a, 0.0, di), active, d)
         descent = _tdot(s.g, d)
         bad_dir = (descent >= 0) | ~jnp.isfinite(descent)
@@ -569,8 +589,7 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
         s_nrm = jnp.sqrt(_tdot(sv, sv))
         y_nrm = jnp.sqrt(_tdot(yv, yv))
         good = ls_ok & (sy > 1e-10 * s_nrm * y_nrm) & (sy > 0)
-        S = _hist_set(s.S, s.head, sv, good)
-        Yh = _hist_set(s.Yh, s.head, yv, good)
+        H = _hist_set_pair(s.H, m, s.head, sv, yv, good)
         rho = jnp.where(good,
                         s.rho.at[s.head].set(1.0 / jnp.maximum(sy, 1e-300)),
                         s.rho)
@@ -596,7 +615,7 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
         f_out = jnp.where(fail, s.f, f_new)
         g_out = _where_s(fail, s.g, g_new)
         return _State(
-            x=x_out, f=f_out, g=g_out, S=S, Yh=Yh, rho=rho, head=head,
+            x=x_out, f=f_out, g=g_out, H=H, rho=rho, head=head,
             hlen=hlen, niter=s.niter + 1, nfev=s.nfev + ls_nfev,
             status=status, done=done)
 
