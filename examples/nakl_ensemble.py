@@ -154,6 +154,17 @@ def main():
                          "another — the literature's multi-experiment "
                          "identifiability lever for the 19-param "
                          "estimation")
+    ap.add_argument("--clamp-v-rf", type=float, default=None,
+                    help="hold the VOLTAGE-equation model-error precision "
+                         "FIXED at this value from β=0 (per-component "
+                         "rf_max cap, anneal/ladder.py) while the gate-"
+                         "kinetics RF anneals normally. With V pinned to "
+                         "data by ME, a strong V equation enforces the "
+                         "(certain) current balance f_V(x,p) ≈ dV/dt "
+                         "pointwise from the start, pricing the V-"
+                         "compensated basins that the annealed-V ladder "
+                         "was measured to select in the 18-param mode "
+                         "(PARITY.md round-3 campaign sections)")
     args = ap.parse_args()
 
     import jax
@@ -194,6 +205,9 @@ def main():
             args.protocols = int(saved["protocols"])
         if "alpha" in saved:
             args.alpha = float(saved["alpha"])
+        if "clamp_v_rf" in saved:
+            c = float(saved["clamp_v_rf"])
+            args.clamp_v_rf = None if c == 0.0 else c
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -224,6 +238,13 @@ def main():
     # whole vector by alpha^beta, preserving the relative gate weighting
     rf_dir = np.array([1.0, args.gate_rf_scale, args.gate_rf_scale,
                        args.gate_rf_scale])
+    rf_max = None
+    if args.clamp_v_rf is not None:
+        # V starts AT its cap (rf0_V = clamp, annealing is a no-op on it);
+        # the three gate components anneal normally (cap = +inf)
+        rf_dir = rf_dir.copy()
+        rf_dir[0] = args.clamp_v_rf / 1e-5
+        rf_max = np.array([args.clamp_v_rf, np.inf, np.inf, np.inf])
 
     def make_problem(dtype):
         specs = [build_spec(nakl, 4, tk["V"].astype(dtype), tk["t"], [0],
@@ -306,14 +327,15 @@ def main():
                     all_params=all_params, fix_cm=args.fix_cm,
                     gate_rf_scale=args.gate_rf_scale, repeats=reps,
                     ninit=B, protocols=K, alpha=args.alpha,
-                    f64=bool(args.f64))
+                    f64=bool(args.f64),
+                    clamp_v_rf=(args.clamp_v_rf or 0.0))
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
             jnp.asarray(rf0_arr), args.alpha,
             ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
             save_every=args.chunk, lower=lo, upper=hi, opts=opts,
             store_paths=False, batched=True, repeats=reps,
-            snapshot_beta=snap, meta=meta, verbose=True)
+            snapshot_beta=snap, meta=meta, verbose=True, rf_max=rf_max)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(res.XP)
         A = np.asarray(res.A)                       # (B, n_beta) per rung
@@ -381,7 +403,8 @@ def main():
         opts=opts64, store_paths=False, batched=True,
         repeats=max(1, args.polish_repeats),
         meta=dict(picks=np.asarray(picks),
-                  gate_rf_scale=args.gate_rf_scale), verbose=True)
+                  gate_rf_scale=args.gate_rf_scale), verbose=True,
+        rf_max=rf_max)
     XPk = np.asarray(res_pol.XP)
     Ak = np.asarray(res_pol.A)
     print(f"polish ({Ktop} members x {len(pol_betas)} β): "

@@ -83,7 +83,7 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
                store_paths: bool = True, inner: str = "lbfgs",
                residual_fn=None, lm_opts=None,
-               tnc_opts=None) -> LadderResult:
+               tnc_opts=None, rf_max=None) -> LadderResult:
     """Run the full annealing ladder from initial decision vector ``XP0``.
 
     ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
@@ -91,6 +91,13 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     ``store_paths=False`` drops the (Nbeta, n_dof) minimizer record — use for
     very large ensembles where that array would dominate HBM (SURVEY.md §7
     memory note).
+
+    ``rf_max``: optional per-component (broadcastable against ``rf0``) CAP
+    on the annealed precision: RF(β) = min(RF0·α^β, rf_max). Components at
+    their cap stop annealing while the rest continue — e.g. clamping the
+    voltage-equation RF high from β=0 enforces the (certain) current
+    balance throughout while only the (uncertain) kinetics constraints
+    anneal. Set a component's cap to +inf to anneal it normally.
 
     ``inner``: 'lbfgs' (default), 'lm' — the matrix-free Gauss–Newton /
     Levenberg–Marquardt solver (``opt/lm.py``, requires
@@ -104,6 +111,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     betas = jnp.asarray(betas, dtype)
     rf0 = jnp.asarray(rf0, dtype)
     alpha = jnp.asarray(alpha, dtype)
+    if rf_max is not None:
+        rf_max = jnp.asarray(rf_max, dtype)
     vag = jax.value_and_grad(action)
     if inner == "lm":
         if residual_fn is None:
@@ -127,6 +136,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
 
     def step(XP, beta):
         rf = rf0 * alpha ** beta
+        if rf_max is not None:
+            rf = jnp.minimum(rf, rf_max)
         if inner == "lm":
             res = lm_minimize(lambda z: residual_fn(z, rf), XP,
                               lower=lower, upper=upper, opts=lm_opts)
