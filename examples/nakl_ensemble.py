@@ -155,16 +155,26 @@ def main():
                          "identifiability lever for the 19-param "
                          "estimation")
     ap.add_argument("--clamp-v-rf", type=float, default=None,
-                    help="hold the VOLTAGE-equation model-error precision "
-                         "FIXED at this value from β=0 (per-component "
-                         "rf_max cap, anneal/ladder.py) while the gate-"
-                         "kinetics RF anneals normally. With V pinned to "
-                         "data by ME, a strong V equation enforces the "
-                         "(certain) current balance f_V(x,p) ≈ dV/dt "
-                         "pointwise from the start, pricing the V-"
-                         "compensated basins that the annealed-V ladder "
-                         "was measured to select in the 18-param mode "
-                         "(PARITY.md round-3 campaign sections)")
+                    help="FLOOR the VOLTAGE-equation model-error "
+                         "precision at this value (per-component rf_min, "
+                         "anneal/ladder.py): rf_V(β) = max(C, RF0_V·α^β) "
+                         "— the V equation starts the ladder already "
+                         "strong and resumes annealing once the ladder "
+                         "overtakes the floor. With V pinned to data by "
+                         "ME, a strong V equation enforces the (certain) "
+                         "current balance f_V(x,p) ≈ dV/dt pointwise "
+                         "from β=0, pricing the V-compensated basins "
+                         "that the annealed-V ladder was measured to "
+                         "select in the 18-param mode (PARITY.md round-3 "
+                         "campaign sections)")
+    ap.add_argument("--gates-own-ss", action="store_true",
+                    help="slave each member's initial gate paths to its "
+                         "OWN kinetics draw via a_inf(V_data; member "
+                         "params) instead of the truth kinetics: every "
+                         "member starts dynamically self-consistent, so "
+                         "the ensemble explores kinetics hypotheses "
+                         "fairly and the action ranking is informative "
+                         "about kinetics from the earliest rungs")
     args = ap.parse_args()
 
     import jax
@@ -238,13 +248,11 @@ def main():
     # whole vector by alpha^beta, preserving the relative gate weighting
     rf_dir = np.array([1.0, args.gate_rf_scale, args.gate_rf_scale,
                        args.gate_rf_scale])
-    rf_max = None
+    rf_min = None
     if args.clamp_v_rf is not None:
-        # V starts AT its cap (rf0_V = clamp, annealing is a no-op on it);
-        # the three gate components anneal normally (cap = +inf)
-        rf_dir = rf_dir.copy()
-        rf_dir[0] = args.clamp_v_rf / 1e-5
-        rf_max = np.array([args.clamp_v_rf, np.inf, np.inf, np.inf])
+        # V starts AT its floor and stiffens further once the annealed
+        # 1e-5·α^β overtakes it; the gate components anneal normally
+        rf_min = np.array([args.clamp_v_rf, 0.0, 0.0, 0.0])
 
     def make_problem(dtype):
         specs = [build_spec(nakl, 4, tk["V"].astype(dtype), tk["t"], [0],
@@ -305,16 +313,26 @@ def main():
                  a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])])  # n
         xp0s = []
         for _ in range(B):
+            pe = [rng.uniform(*b) for b in pbounds]
+            pfull = np.asarray(NAKL_P_TRUE, dtype=np.float64).copy()
+            pfull[Pidx] = pe
             blocks = []
             for V_fk, gss in zip(Vfs, gates_ss_k):
                 if args.gates_random:
                     gates = [rng.uniform(0, 1, N_f) for _ in range(3)]
                 else:
+                    if args.gates_own_ss:
+                        # slave gates to the MEMBER's kinetics draw: the
+                        # member starts dynamically self-consistent
+                        def a_inf(va, dva, V_fk=V_fk):
+                            return 0.5 * (1.0 + np.tanh((V_fk - va) / dva))
+                        gss = [a_inf(pfull[7], pfull[8]),
+                               a_inf(pfull[11], pfull[12]),
+                               a_inf(pfull[15], pfull[16])]
                     # steady-state gates + small per-member jitter
                     gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
                              for g in gss]
                 blocks.append(np.column_stack([V_fk] + gates).ravel())
-            pe = [rng.uniform(*b) for b in pbounds]
             xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
         xp = jnp.asarray(np.stack(xp0s))
 
@@ -335,7 +353,7 @@ def main():
             ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
             save_every=args.chunk, lower=lo, upper=hi, opts=opts,
             store_paths=False, batched=True, repeats=reps,
-            snapshot_beta=snap, meta=meta, verbose=True, rf_max=rf_max)
+            snapshot_beta=snap, meta=meta, verbose=True, rf_min=rf_min)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(res.XP)
         A = np.asarray(res.A)                       # (B, n_beta) per rung
@@ -404,7 +422,7 @@ def main():
         repeats=max(1, args.polish_repeats),
         meta=dict(picks=np.asarray(picks),
                   gate_rf_scale=args.gate_rf_scale), verbose=True,
-        rf_max=rf_max)
+        rf_min=rf_min)
     XPk = np.asarray(res_pol.XP)
     Ak = np.asarray(res_pol.A)
     print(f"polish ({Ktop} members x {len(pol_betas)} β): "

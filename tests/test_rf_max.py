@@ -80,6 +80,24 @@ def test_rf_max_per_component_cap():
     assert abs(paths[-1, 1] - paths[-2, 1]) > 1e-3
 
 
+def test_rf_min_floor_matches_closed_form():
+    """rf_min floor: the floored component starts AT the floor and
+    resumes annealing once rf0·α^β overtakes it."""
+    rf0, alpha, floor = 0.1, 2.0, 0.9
+    betas = np.arange(8, dtype=np.float64)
+    res = run_ladder(_quad_action, _quad_parts, jnp.array([5.0]),
+                     betas, rf0, alpha, rf_min=floor,
+                     opts=LBFGSOptions(maxiter=60, pgtol=1e-12,
+                                       ftol=1e-16))
+    rf_eff = np.maximum(rf0 * alpha ** betas, floor)
+    np.testing.assert_allclose(np.asarray(res.A),
+                               _closed_form_A(rf_eff), rtol=1e-8)
+    # floor binds early (rungs 0..3: rf0·2^β < 0.9), anneals after
+    assert rf_eff[0] == floor and rf_eff[-1] == rf0 * alpha ** betas[-1]
+    np.testing.assert_allclose(res.A[0], res.A[1], rtol=1e-10)
+    assert res.A[-1] > res.A[-2]
+
+
 def test_facade_RF_max_kwarg():
     """RF_max flows through the facade (same shape zoo as RF0)."""
     import varanneal_tpu

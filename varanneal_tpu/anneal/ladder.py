@@ -83,7 +83,7 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
                store_paths: bool = True, inner: str = "lbfgs",
                residual_fn=None, lm_opts=None,
-               tnc_opts=None, rf_max=None) -> LadderResult:
+               tnc_opts=None, rf_max=None, rf_min=None) -> LadderResult:
     """Run the full annealing ladder from initial decision vector ``XP0``.
 
     ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
@@ -94,10 +94,16 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
 
     ``rf_max``: optional per-component (broadcastable against ``rf0``) CAP
     on the annealed precision: RF(β) = min(RF0·α^β, rf_max). Components at
-    their cap stop annealing while the rest continue — e.g. clamping the
-    voltage-equation RF high from β=0 enforces the (certain) current
-    balance throughout while only the (uncertain) kinetics constraints
-    anneal. Set a component's cap to +inf to anneal it normally.
+    their cap stop annealing while the rest continue. Set a component's
+    cap to +inf to anneal it normally.
+
+    ``rf_min``: optional per-component FLOOR: RF(β) = max(RF0·α^β,
+    rf_min). A floored component starts the ladder already at its floor
+    and resumes annealing once RF0·α^β overtakes it — e.g. flooring the
+    voltage-equation RF high enforces the (certain) current balance from
+    β=0 while the (uncertain) kinetics constraints anneal from soft, yet
+    the voltage equation still stiffens at the top of the ladder. Floors
+    of 0 anneal normally. When both are given the cap is applied last.
 
     ``inner``: 'lbfgs' (default), 'lm' — the matrix-free Gauss–Newton /
     Levenberg–Marquardt solver (``opt/lm.py``, requires
@@ -113,6 +119,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     alpha = jnp.asarray(alpha, dtype)
     if rf_max is not None:
         rf_max = jnp.asarray(rf_max, dtype)
+    if rf_min is not None:
+        rf_min = jnp.asarray(rf_min, dtype)
     vag = jax.value_and_grad(action)
     if inner == "lm":
         if residual_fn is None:
@@ -136,6 +144,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
 
     def step(XP, beta):
         rf = rf0 * alpha ** beta
+        if rf_min is not None:
+            rf = jnp.maximum(rf, rf_min)
         if rf_max is not None:
             rf = jnp.minimum(rf, rf_max)
         if inner == "lm":

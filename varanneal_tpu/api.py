@@ -177,7 +177,7 @@ class Annealer:
                verbose=False, checkpoint_path=None, checkpoint_every=10,
                resume=True, R_time_dependent=None, engine="auto",
                repeats=1, snapshot_beta=None, checkpoint_meta=None,
-               compensated=False, RF_max=None):
+               compensated=False, RF_max=None, RF_min=None):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -203,11 +203,12 @@ class Annealer:
         two-float exact-sum tree (``ops.action.comp_sum`` — removes f32
         reduction noise; measured basin-depth effect in PARITY.md;
         forces the XLA engine);
-        ``RF_max``: per-component cap on the annealed precision,
-        RF(β) = min(RF0·α^β, RF_max) — accepts the same shape zoo as RF0
-        (use +inf for components that anneal normally). Clamped
-        components hold a fixed precision while the rest climb the
-        ladder (see anneal/ladder.py).
+        ``RF_max``/``RF_min``: per-component cap / floor on the annealed
+        precision, RF(β) = max(min(RF0·α^β, RF_max), RF_min) — both
+        accept the same shape zoo as RF0 (+inf cap / 0 floor = anneal
+        normally). A capped component stops annealing at its cap; a
+        floored component starts the ladder AT its floor and resumes
+        annealing once RF0·α^β overtakes it (see anneal/ladder.py).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -251,6 +252,11 @@ class Annealer:
         if RF_max is not None:
             rf_max = canonical_R(
                 RF_max, spec.N_f - 1, spec.D, "RF_max",
+                time_dependent=R_time_dependent).astype(dtype)
+        rf_min = None
+        if RF_min is not None:
+            rf_min = canonical_R(
+                RF_min, spec.N_f - 1, spec.D, "RF_min",
                 time_dependent=R_time_dependent).astype(dtype)
         lower, upper = build_bounds(spec, bounds, dtype)
         opt_args = dict(opt_args or {})
@@ -301,7 +307,7 @@ class Annealer:
                 repeats=repeats, snapshot_beta=snapshot_beta,
                 meta=checkpoint_meta,
                 inner=inner, residual_fn=residual_fn, lm_opts=lm_opts,
-                tnc_opts=tnc_opts, rf_max=rf_max)
+                tnc_opts=tnc_opts, rf_max=rf_max, rf_min=rf_min)
         else:
             @jax.jit
             def _ladder(XP0, betas):
@@ -309,7 +315,8 @@ class Annealer:
                                   lower=lower, upper=upper, opts=opts,
                                   store_paths=track_paths, inner=inner,
                                   residual_fn=residual_fn, lm_opts=lm_opts,
-                                  tnc_opts=tnc_opts, rf_max=rf_max)
+                                  tnc_opts=tnc_opts, rf_max=rf_max,
+                                  rf_min=rf_min)
 
             res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)
