@@ -175,6 +175,18 @@ def main():
                          "the ensemble explores kinetics hypotheses "
                          "fairly and the action ranking is informative "
                          "about kinetics from the earliest rungs")
+    ap.add_argument("--log-tau", action="store_true",
+                    help="estimate the six gate TIMESCALE parameters "
+                         "(tm0, tm1, th0, th1, tn0, tn1) in LOG space: "
+                         "the SH action is measured ~4 decades less "
+                         "sensitive to kinetic-timescale error than to "
+                         "conductance error per unit RF "
+                         "(benchmarks/nakl_fe_anisotropy.py), and in "
+                         "linear tau the under-priced rungs pin tau at "
+                         "a bound box edge; log parameterization makes "
+                         "timescale moves multiplicative (scale-free "
+                         "curvature, symmetric box, log-uniform "
+                         "ensemble draws)")
     args = ap.parse_args()
 
     import jax
@@ -218,6 +230,8 @@ def main():
         if "clamp_v_rf" in saved:
             c = float(saved["clamp_v_rf"])
             args.clamp_v_rf = None if c == 0.0 else c
+        # a phase-1 state annealed in log-tau space must be polished in it
+        args.log_tau = bool(saved["log_tau"]) if "log_tau" in saved else False
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -242,7 +256,36 @@ def main():
     Pidx = (list(range(1 if args.fix_cm else 0, 19)) if all_params
             else [1, 2, 3, 4, 5])
     pbounds = [PBOUNDS_ALL[j] for j in Pidx]
+
+    # --log-tau: the decision vector carries log(tau) for the six gate
+    # timescales; the model wrapper exponentiates, bounds/draws go log
+    TAU_ALL = (9, 10, 13, 14, 17, 18)
+    tau_loc = ([j for j, pi in enumerate(Pidx) if pi in TAU_ALL]
+               if args.log_tau else [])
+    if args.log_tau:
+        pbounds = [(np.log(b[0]), np.log(b[1])) if pi in TAU_ALL else b
+                   for b, pi in zip(pbounds, Pidx)]
     bounds = STATE_BOUNDS + pbounds
+
+    P_base = np.asarray(NAKL_P_TRUE, dtype=np.float64)
+    model_f = nakl
+    if args.log_tau:
+        P_base = P_base.copy()
+        P_base[list(TAU_ALL)] = np.log(P_base[list(TAU_ALL)])
+        _tau_arr = jnp.asarray(TAU_ALL)
+
+        def model_f(t, x, p):
+            pp, st = p if isinstance(p, tuple) else (p, None)
+            pp = jnp.asarray(pp)
+            pl = pp.at[..., _tau_arr].set(jnp.exp(pp[..., _tau_arr]))
+            return nakl(t, x, pl if st is None else (pl, st))
+
+    def p_linear(p_est):
+        """Estimated subvector back to linear tau for reporting/saving."""
+        p_est = np.asarray(p_est, dtype=np.float64).copy()
+        if tau_loc:
+            p_est[..., tau_loc] = np.exp(p_est[..., tau_loc])
+        return p_est
 
     # per-component RF0 direction: [V, m, h, n]; the ladder scales the
     # whole vector by alpha^beta, preserving the relative gate weighting
@@ -255,9 +298,9 @@ def main():
         rf_min = np.array([args.clamp_v_rf, 0.0, 0.0, 0.0])
 
     def make_problem(dtype):
-        specs = [build_spec(nakl, 4, tk["V"].astype(dtype), tk["t"], [0],
+        specs = [build_spec(model_f, 4, tk["V"].astype(dtype), tk["t"], [0],
                             1.0, disc="SimpsonHermite",
-                            P=np.asarray(NAKL_P_TRUE), pidx=Pidx,
+                            P=P_base, pidx=Pidx,
                             stim=tk["stim"]) for tk in tws]
         if K == 1:
             action, parts = make_action(specs[0])
@@ -346,7 +389,8 @@ def main():
                     gate_rf_scale=args.gate_rf_scale, repeats=reps,
                     ninit=B, protocols=K, alpha=args.alpha,
                     f64=bool(args.f64),
-                    clamp_v_rf=(args.clamp_v_rf or 0.0))
+                    clamp_v_rf=(args.clamp_v_rf or 0.0),
+                    log_tau=bool(args.log_tau))
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
             jnp.asarray(rf0_arr), args.alpha,
@@ -369,7 +413,7 @@ def main():
           "counts:", lv.counts[:5])
 
     def report(XPb, label):
-        p_est = XPb[n_state_tot:]
+        p_est = p_linear(XPb[n_state_tot:])
         print(f"{label} estimated vs truth:")
         for j, pi in enumerate(Pidx):
             tr = NAKL_P_TRUE[pi]
@@ -439,7 +483,9 @@ def main():
         out = stem + "_polished.npz"
         np.savez(out, XP=XPbest, member=kbest, A=Abest,
                  A_polished=np.asarray([r[0] for r in results]),
-                 candidates=np.asarray([r[1] for r in results]))
+                 candidates=np.asarray([r[1] for r in results]),
+                 p_est=p_linear(XPbest[n_state_tot:]),
+                 log_tau=bool(args.log_tau))
         print(f"saved polished estimate -> {out}")
     return 0
 
