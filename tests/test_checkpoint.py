@@ -312,3 +312,55 @@ def test_checkpoint_nnet_facade(tmp_path):
     W2, b2 = a2.weights_at(-1)
     for w1, w2 in zip(W1, W2):
         np.testing.assert_array_equal(w1, w2)
+
+
+def test_skip_converged_repeats_identical_and_cheaper(tmp_path):
+    """With generous maxiter every rung grad-converges on its first
+    dispatch; skipping the remaining repeats must leave XP and all
+    per-rung records identical to the no-skip run while recording zero
+    extra work (niter/nfev sums equal the single-dispatch values).
+    pgtol is loose enough that exits are CONV_GRAD (stationary), the only
+    status the skip trusts."""
+    action, parts, xp0 = _setup()
+    betas = np.arange(4.0)
+    opts = LBFGSOptions(maxiter=400, pgtol=1e-5, ftol=0.0)
+    skip = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                   save_every=1, opts=opts,
+                                   store_paths=False, repeats=4)
+    legacy = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                     save_every=1, opts=opts,
+                                     store_paths=False, repeats=4,
+                                     skip_converged_repeats=False)
+    one = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                  save_every=1, opts=opts,
+                                  store_paths=False, repeats=1)
+    assert np.all(skip.status == 0)
+    np.testing.assert_array_equal(skip.XP, legacy.XP)
+    np.testing.assert_array_equal(skip.A, legacy.A)
+    np.testing.assert_array_equal(skip.pgnorm, legacy.pgnorm)
+    # skipped repeats record zero work: per-rung sums collapse to the
+    # first dispatch's counts
+    np.testing.assert_array_equal(skip.niter, one.niter)
+    np.testing.assert_array_equal(skip.nfev, one.nfev)
+    assert np.all(legacy.nfev >= skip.nfev)
+
+
+def test_skip_converged_repeats_batched_checkpoint_resume(tmp_path):
+    """Skip bookkeeping must stay consistent with per-chunk checkpoint
+    resume for a batched ensemble: killing after a mid-rung chunk and
+    resuming reproduces the uninterrupted run bit-for-bit."""
+    action, parts, xp0 = _setup()
+    xp0b = jnp.stack([xp0, xp0 + 0.01])
+    betas = np.arange(3.0)
+    opts = LBFGSOptions(maxiter=400, pgtol=1e-5, ftol=0.0)
+    kw = dict(save_every=1, opts=opts, store_paths=False, repeats=3,
+              batched=True)
+    full = run_ladder_checkpointed(action, parts, xp0b, betas, 1e-4, 1.7,
+                                   **kw)
+    ck = str(tmp_path / "skip.npz")
+    run_ladder_checkpointed(action, parts, xp0b, betas[:2], 1e-4, 1.7,
+                            ckpt_path=ck, **kw)
+    resumed = run_ladder_checkpointed(action, parts, xp0b, betas, 1e-4,
+                                      1.7, ckpt_path=ck, **kw)
+    np.testing.assert_array_equal(full.XP, resumed.XP)
+    np.testing.assert_array_equal(full.A, resumed.A)

@@ -134,6 +134,7 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
                             repeats: int = 1,
                             snapshot_beta: Optional[int] = None,
                             meta: Optional[dict] = None,
+                            skip_converged_repeats: bool = True,
                             **ladder_kwargs) -> LadderResult:
     """Drop-in for :func:`run_ladder` with chunked dispatch, per-chunk
     checkpointing, per-rung repeats and a β snapshot.
@@ -148,6 +149,17 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
     (B, Nβ)). ``repeats``/``snapshot_beta``/``meta``: see module
     docstring. Returns per-RUNG records; ``result.snapshot`` holds the
     snapshot decision tree (or None).
+
+    ``skip_converged_repeats`` (default True): when every ensemble member
+    of a dispatch exits GRAD-CONVERGED (pgnorm ≤ pgtol — provably
+    stationary: a re-dispatch exits on its first gradient test without
+    moving), the remaining warm-started repeats of the SAME rung are
+    skipped, duplicating the converged records into the skipped columns
+    (niter/nfev get ZERO columns so the per-rung work sums stay
+    truthful). Aggregated results are bit-identical to the full dispatch
+    sequence; only wall time changes. ftol-converged exits are NOT
+    skipped (a fresh dispatch restarts the L-BFGS memory and can descend
+    further — measured).
     """
     opts = opts or LBFGSOptions()
     XP0 = jax.tree_util.tree_map(jnp.asarray, XP0)
@@ -220,6 +232,24 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
             for slot, leaf in zip(paths, pl):
                 slot.append(leaf)
         i = end
+        if skip_converged_repeats and repeats > 1 and i % repeats != 0 \
+                and i < n_disp:
+            last_st = np.take(np.asarray(res.status), -1, axis=rec_ax)
+            if np.all(last_st == 0):          # CONV_GRAD only (stationary)
+                rung_end = ((i - 1) // repeats + 1) * repeats
+                nskip = rung_end - i
+                for k in _FIELDS:
+                    col = np.take(np.asarray(recs[k][-1]), [-1],
+                                  axis=rec_ax)
+                    if k in ("niter", "nfev"):
+                        col = np.zeros_like(col)
+                    recs[k].append(np.repeat(col, nskip, axis=rec_ax))
+                if store_paths:
+                    for slot in paths:
+                        col = np.take(np.asarray(slot[-1]), [-1],
+                                      axis=rec_ax)
+                        slot.append(np.repeat(col, nskip, axis=rec_ax))
+                i = rung_end
         if snap_disp is not None and i == snap_disp:
             snap_leaves = [np.asarray(l)
                            for l in jax.tree_util.tree_leaves(XP)]
