@@ -134,6 +134,7 @@ def main():
         "value": round(per_init, 6),
         "unit": "s/init",
         "vs_baseline": round(target / per_init, 4),
+        "platform": jax.devices()[0].platform,
     }
     if final_a_tail64 is not None:
         out["final_A_tail64"] = round(final_a_tail64, 6)
@@ -147,5 +148,39 @@ def main():
           file=sys.stderr)
 
 
+def _run_with_retries():
+    """Shield the one JSON line from this testbed's flaky accelerator
+    worker (CLAUDE.md: occasional crashes/hangs; a FRESH process is
+    required to reconnect). Each attempt is a child re-exec of this
+    script; on repeated failure the last attempt runs on CPU so a
+    measurement is always recorded (the JSON's ``platform`` field says
+    which device produced it)."""
+    import subprocess
+
+    retries = int(os.environ.get("BENCH_RETRIES", "3"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
+    argv = [sys.executable, os.path.abspath(__file__)]
+    for att in range(retries):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            rc = subprocess.run(argv, env=env, timeout=timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            print(f"# bench attempt {att + 1} hung past {timeout}s",
+                  file=sys.stderr)
+        if rc == 0:
+            return 0
+        print(f"# bench attempt {att + 1} rc={rc}; accelerator may be "
+              "restarting — retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+    env = dict(os.environ, BENCH_CHILD="1", JAX_PLATFORMS="cpu")
+    print("# accelerator unreachable: recording a CPU-fallback "
+          "measurement", file=sys.stderr)
+    return subprocess.run(argv, env=env, timeout=timeout).returncode
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_run_with_retries())
