@@ -33,6 +33,11 @@ import numpy as np
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # env JAX_PLATFORMS is too late when a sitecustomize pre-imported
+        # jax (CLAUDE.md gotcha) — force the platform on the live config
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     dtype_s = os.environ.get("BENCH_DTYPE", "f32")
@@ -157,8 +162,8 @@ def _run_with_retries():
     which device produced it)."""
     import subprocess
 
-    retries = int(os.environ.get("BENCH_RETRIES", "3"))
-    timeout = int(os.environ.get("BENCH_TIMEOUT", "1500"))
+    retries = int(os.environ.get("BENCH_RETRIES", "2"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT", "900"))
     argv = [sys.executable, os.path.abspath(__file__)]
     for att in range(retries):
         env = dict(os.environ, BENCH_CHILD="1")
@@ -173,7 +178,8 @@ def _run_with_retries():
         print(f"# bench attempt {att + 1} rc={rc}; accelerator may be "
               "restarting — retrying in 60s", file=sys.stderr)
         time.sleep(60)
-    env = dict(os.environ, BENCH_CHILD="1", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, BENCH_CHILD="1", JAX_PLATFORMS="cpu",
+               BENCH_FORCE_CPU="1")
     print("# accelerator unreachable: recording a CPU-fallback "
           "measurement", file=sys.stderr)
     return subprocess.run(argv, env=env, timeout=timeout).returncode
