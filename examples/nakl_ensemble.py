@@ -187,6 +187,11 @@ def main():
                          "timescale moves multiplicative (scale-free "
                          "curvature, symmetric box, log-uniform "
                          "ensemble draws)")
+    ap.add_argument("--log-g", action="store_true",
+                    help="estimate the three conductances (gNa, gK, gL) "
+                         "in LOG space — positive scale parameters; gL "
+                         "pins at its linear lower bound in every "
+                         "measured linear-box campaign")
     args = ap.parse_args()
 
     import jax
@@ -230,8 +235,9 @@ def main():
         if "clamp_v_rf" in saved:
             c = float(saved["clamp_v_rf"])
             args.clamp_v_rf = None if c == 0.0 else c
-        # a phase-1 state annealed in log-tau space must be polished in it
+        # a phase-1 state annealed in log space must be polished in it
         args.log_tau = bool(saved["log_tau"]) if "log_tau" in saved else False
+        args.log_g = bool(saved["log_g"]) if "log_g" in saved else False
     else:
         N = 751 if args.small else 3001
         n_beta = 41 if args.small else 61
@@ -257,34 +263,40 @@ def main():
             else [1, 2, 3, 4, 5])
     pbounds = [PBOUNDS_ALL[j] for j in Pidx]
 
-    # --log-tau: the decision vector carries log(tau) for the six gate
-    # timescales; the model wrapper exponentiates, bounds/draws go log
+    # --log-tau / --log-g: the decision vector carries log(p) for the six
+    # gate timescales and/or the three conductances (all positive SCALE
+    # parameters); the model wrapper exponentiates, bounds/draws go log.
+    # Measured motivation: every linear-box campaign pins some of
+    # tm0/tn0 (timescales) and gL (conductance) at a box edge while the
+    # rung prices them ~4 decades of RF late (PARITY.md round-3).
     TAU_ALL = (9, 10, 13, 14, 17, 18)
-    tau_loc = ([j for j, pi in enumerate(Pidx) if pi in TAU_ALL]
-               if args.log_tau else [])
-    if args.log_tau:
-        pbounds = [(np.log(b[0]), np.log(b[1])) if pi in TAU_ALL else b
+    G_ALL = (1, 3, 5)                      # gNa, gK, gL
+    LOG_IDX = tuple((TAU_ALL if args.log_tau else ())
+                    + (G_ALL if args.log_g else ()))
+    log_loc = [j for j, pi in enumerate(Pidx) if pi in LOG_IDX]
+    if LOG_IDX:
+        pbounds = [(np.log(b[0]), np.log(b[1])) if pi in LOG_IDX else b
                    for b, pi in zip(pbounds, Pidx)]
     bounds = STATE_BOUNDS + pbounds
 
     P_base = np.asarray(NAKL_P_TRUE, dtype=np.float64)
     model_f = nakl
-    if args.log_tau:
+    if LOG_IDX:
         P_base = P_base.copy()
-        P_base[list(TAU_ALL)] = np.log(P_base[list(TAU_ALL)])
-        _tau_arr = jnp.asarray(TAU_ALL)
+        P_base[list(LOG_IDX)] = np.log(P_base[list(LOG_IDX)])
+        _log_arr = jnp.asarray(LOG_IDX)
 
         def model_f(t, x, p):
             pp, st = p if isinstance(p, tuple) else (p, None)
             pp = jnp.asarray(pp)
-            pl = pp.at[..., _tau_arr].set(jnp.exp(pp[..., _tau_arr]))
+            pl = pp.at[..., _log_arr].set(jnp.exp(pp[..., _log_arr]))
             return nakl(t, x, pl if st is None else (pl, st))
 
     def p_linear(p_est):
-        """Estimated subvector back to linear tau for reporting/saving."""
+        """Estimated subvector back to linear scale for reporting/saving."""
         p_est = np.asarray(p_est, dtype=np.float64).copy()
-        if tau_loc:
-            p_est[..., tau_loc] = np.exp(p_est[..., tau_loc])
+        if log_loc:
+            p_est[..., log_loc] = np.exp(p_est[..., log_loc])
         return p_est
 
     # per-component RF0 direction: [V, m, h, n]; the ladder scales the
@@ -390,7 +402,8 @@ def main():
                     ninit=B, protocols=K, alpha=args.alpha,
                     f64=bool(args.f64),
                     clamp_v_rf=(args.clamp_v_rf or 0.0),
-                    log_tau=bool(args.log_tau))
+                    log_tau=bool(args.log_tau),
+                    log_g=bool(args.log_g))
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
             jnp.asarray(rf0_arr), args.alpha,
@@ -485,7 +498,8 @@ def main():
                  A_polished=np.asarray([r[0] for r in results]),
                  candidates=np.asarray([r[1] for r in results]),
                  p_est=p_linear(XPbest[n_state_tot:]),
-                 log_tau=bool(args.log_tau))
+                 log_tau=bool(args.log_tau),
+                 log_g=bool(args.log_g))
         print(f"saved polished estimate -> {out}")
     return 0
 
