@@ -16,7 +16,7 @@ tail value is the reproducible accuracy field.
 Env knobs: BENCH_DTYPE=f32|f64 (default f32), BENCH_NINIT (default 1,
 vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
 101), BENCH_MAXITER (default 500), BENCH_PALLAS=1 (fused Pallas FE
-forward), BENCH_DIRECTION=compact|two_loop, BENCH_INNER=lbfgs|lm,
+forward), BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
 BENCH_TAIL64_TIMED=1 (legacy two-phase accuracy mode: the tail runs
 INSIDE the timed section — recovers the f64-level final action at ~f32
@@ -70,7 +70,7 @@ def main():
 
     betas = jnp.arange(n_beta, dtype=dtype)
     rf0 = dtype(4e-6 * tw["RM"])
-    direction = os.environ.get("BENCH_DIRECTION", "compact")
+    direction = os.environ.get("BENCH_DIRECTION", "auto")
     m = int(os.environ.get("BENCH_M", "5"))
     maxls = int(os.environ.get("BENCH_MAXLS", "20"))
     opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,

@@ -51,10 +51,14 @@ class LBFGSOptions:
     maxls: int = 30
     c1: float = 1e-4            # Armijo constant
     c2: float = 0.9             # curvature constant
-    # direction computation: 'compact' (Byrd–Nocedal–Schnabel: 3 batched
-    # matvecs + (m,m) triangular solves — low launch latency, the TPU
-    # default) or 'two_loop' (classic 2m-step sequential recursion)
-    direction: str = "compact"
+    # direction computation: 'auto' (the measured winner per regime:
+    # 'compact_pallas' for flat f32 vectors on TPU, else 'compact'),
+    # 'compact' (Byrd–Nocedal–Schnabel: 3 batched matvecs + (m,m)
+    # triangular solves), 'two_loop' (classic 2m-step sequential
+    # recursion), or 'compact_pallas' (the whole compact-form direction
+    # fused into ONE Pallas launch per member — kernels/dir_pallas.py;
+    # measured 0.311 vs 0.340 s/init on the canonical bench ladder)
+    direction: str = "auto"
     # bound handling: 'auto' (default — 'subspace' for flat 1-D decision
     # vectors, 'projection' for pytrees), 'subspace' (full L-BFGS-B:
     # generalized Cauchy point + free-subspace direct solve,
@@ -487,6 +491,17 @@ def _compact_dir(g, H, rho, head, hlen, m, dtype):
     return _scale(-1.0, Hg)
 
 
+def _pallas_dir(g, H, rho, head, hlen, m, dtype):
+    """Dispatch the direction to the fused single-launch Pallas kernel
+    (kernels/dir_pallas.py). Only reached when ``pallas_dir_supported``
+    held at build time (flat f32 vector on TPU)."""
+    del rho, m, dtype
+    from varanneal_tpu.kernels.dir_pallas import compact_dir_pallas
+    d = compact_dir_pallas(jtu.tree_leaves(g)[0], jtu.tree_leaves(H)[0],
+                           head, hlen)
+    return jtu.tree_unflatten(jtu.tree_structure(g), [d])
+
+
 def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
                    opts: Optional[LBFGSOptions] = None) -> LBFGSResult:
     """Minimize ``f`` given ``value_and_grad(x) -> (f, g)`` from ``x0``,
@@ -503,6 +518,12 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
     m = opts.m
     bounded = (lower is not None) or (upper is not None)  # static
     flat = len(leaves) == 1 and leaves[0].ndim == 1
+    direction = opts.direction
+    if direction in ("auto", "compact_pallas"):
+        from varanneal_tpu.kernels.dir_pallas import pallas_dir_supported
+        direction = ("compact_pallas"
+                     if pallas_dir_supported(leaves, m, dtype)
+                     else "compact")
     algo = opts.bounded_algo
     if algo == "auto":
         algo = "subspace" if flat else "projection"
@@ -554,7 +575,8 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             | ((xi >= hi - eps_b) & (gi < 0)),
             s.x, s.g, lower, upper)
         g_free = _tmap(lambda a, gi: jnp.where(a, 0.0, gi), active, s.g)
-        dir_fn = (_compact_dir if opts.direction == "compact"
+        dir_fn = (_compact_dir if direction == "compact"
+                  else _pallas_dir if direction == "compact_pallas"
                   else _two_loop)
         d = dir_fn(g_free, s.H, s.rho, s.head, s.hlen, m, dtype)
         d = _tmap(lambda a, di: jnp.where(a, 0.0, di), active, d)
