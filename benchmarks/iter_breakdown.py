@@ -117,14 +117,26 @@ def main():
             return g + 1e-12 * Hn[:, 0], acc + pg.sum()
         return lax.fori_loop(0, K, body, (g, jnp.zeros((), dtype)))[1]
 
+    from varanneal_tpu.kernels.dir_pallas import compact_dir_pallas
+
+    @jax.jit
+    def loop_dirp(args):
+        H, g, hd, hl = args
+        def body(i, c):
+            g, acc = c
+            d = jax.vmap(compact_dir_pallas)(g, H, hd, hl)
+            return g + 1e-12 * d, acc + d[0, 0]
+        return lax.fori_loop(0, K, body, (g, jnp.zeros((), dtype)))[1]
+
     print(f"n={nn} B={B} K={K} device={jax.devices()[0].platform}")
     t_vag = timed_loop(loop_vag, x0, K, "vag")
     t_dir = timed_loop(loop_dir, (H0, g0, head, hlen), K, "dir")
+    t_dirp = timed_loop(loop_dirp, (H0, g0, head, hlen), K, "dirp")
     t_two = timed_loop(loop_two, (H0, g0, head, hlen), K, "two")
     t_hist = timed_loop(loop_hist, (H0, g0, head, hlen), K, "hist")
-    est = 1.3 * t_vag + t_dir + t_hist
-    print(f"est iteration (1.3 vag + dir + hist): {est * 1e6:.1f} us "
-          f"(bench measured ~44 us/iter at B=1)")
+    est = 1.3 * t_vag + t_dirp + t_hist
+    print(f"est iteration (1.3 vag + dirp + hist): {est * 1e6:.1f} us "
+          f"(bench measured ~38 us/iter at B=1 post-dirp)")
 
 
 if __name__ == "__main__":

@@ -502,6 +502,97 @@ def _pallas_dir(g, H, rho, head, hlen, m, dtype):
     return jtu.tree_unflatten(jtu.tree_structure(g), [d])
 
 
+class _FState(NamedTuple):
+    x: object               # pytree (single flat leaf)
+    f: jnp.ndarray
+    g: object               # pytree (single flat leaf)
+    A: jnp.ndarray          # (16, n_pad) padded augmented history block
+    d: jnp.ndarray          # (n,) next search direction
+    gnorm1: jnp.ndarray
+    head: jnp.ndarray
+    hlen: jnp.ndarray
+    niter: jnp.ndarray
+    nfev: jnp.ndarray
+    status: jnp.ndarray
+    done: jnp.ndarray
+
+
+def _lbfgs_fused_loop(value_and_grad, x0, opts, m, dtype):
+    """Unbounded L-BFGS with the FUSED per-iteration Pallas step: the
+    history update, termination scalars, and the next compact-form
+    direction all ride ONE kernel launch per iteration
+    (kernels/dir_pallas.py::fused_step). Semantics match the generic
+    loop with direction='compact' (tested); only reached for flat f32
+    decision vectors on TPU (``pallas_step_supported``). The roofline
+    study (PARITY.md) shows this regime is serialization-bound, so the
+    win is kernel COUNT, not FLOPs: everything between two line
+    searches collapses into one launch plus scalar bookkeeping."""
+    from varanneal_tpu.kernels.dir_pallas import fused_step
+    tdef = jtu.tree_structure(x0)
+    x0_leaf = jtu.tree_leaves(x0)[0]
+    n = x0_leaf.shape[0]
+    n_pad = -(-n // 128) * 128
+    rows = 16
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    f0, g0 = value_and_grad(x0)
+    g0_leaf = jtu.tree_leaves(g0)[0]
+    pg0 = jnp.max(jnp.abs(g0_leaf))
+    A0 = jnp.zeros((rows, n_pad), dtype).at[2 * m, :n].set(g0_leaf)
+    init = _FState(
+        x=x0, f=f0, g=g0, A=A0, d=-g0_leaf,
+        gnorm1=jnp.sum(jnp.abs(g0_leaf)),
+        head=jnp.zeros((), jnp.int32), hlen=jnp.zeros((), jnp.int32),
+        niter=jnp.zeros((), jnp.int32), nfev=jnp.ones((), jnp.int32),
+        status=jnp.where(pg0 <= opts.pgtol, CONV_GRAD, MAXITER).astype(
+            jnp.int32),
+        done=pg0 <= opts.pgtol)
+
+    def cond(s):
+        return ~s.done & (s.niter < opts.maxiter)
+
+    def body(s):
+        a_init = jnp.where(
+            s.hlen == 0,
+            jnp.minimum(jnp.asarray(1.0, dtype),
+                        1.0 / jnp.maximum(s.gnorm1, 1e-300)),
+            jnp.asarray(1.0, dtype))
+        d_tree = jtu.tree_unflatten(tdef, [s.d])
+        a, f_new, g_new, ls_nfev, ls_ok = _wolfe_line_search(
+            value_and_grad, s.x, d_tree, s.f, s.g, a_init, big, opts)
+        x_new = _axpy(a, d_tree, s.x)
+
+        A, d_next, _good, pgn, gnorm1, head, hlen = fused_step(
+            m, s.A, jtu.tree_leaves(s.x)[0], jtu.tree_leaves(x_new)[0],
+            jtu.tree_leaves(s.g)[0], jtu.tree_leaves(g_new)[0],
+            s.head, s.hlen, ls_ok)
+
+        df = s.f - f_new
+        fden = jnp.maximum(jnp.maximum(jnp.abs(s.f), jnp.abs(f_new)), 1.0)
+        conv_g = pgn <= opts.pgtol
+        conv_f = df <= opts.ftol * fden
+        fail = ~ls_ok
+        done = conv_g | conv_f | fail
+        status = jnp.where(
+            conv_g, CONV_GRAD,
+            jnp.where(fail, LS_FAIL,
+                      jnp.where(conv_f, CONV_FTOL, MAXITER))).astype(
+            jnp.int32)
+
+        x_out = _where_s(fail, s.x, x_new)
+        f_out = jnp.where(fail, s.f, f_new)
+        g_out = _where_s(fail, s.g, g_new)
+        return _FState(
+            x=x_out, f=f_out, g=g_out, A=A, d=d_next, gnorm1=gnorm1,
+            head=head, hlen=hlen, niter=s.niter + 1,
+            nfev=s.nfev + ls_nfev, status=status, done=done)
+
+    s = lax.while_loop(cond, body, init)
+    pgn = _tmax_abs(s.g)
+    return LBFGSResult(x=s.x, f=s.f, g=s.g, niter=s.niter, nfev=s.nfev,
+                       status=s.status, pgnorm=pgn)
+
+
 def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
                    opts: Optional[LBFGSOptions] = None) -> LBFGSResult:
     """Minimize ``f`` given ``value_and_grad(x) -> (f, g)`` from ``x0``,
@@ -538,6 +629,10 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
             lower=None if lower is None else jtu.tree_leaves(lower)[0],
             upper=None if upper is None else jtu.tree_leaves(upper)[0],
             opts=opts)
+    if direction == "compact_pallas" and not bounded:
+        # flat guaranteed by pallas_dir_supported; the fused per-
+        # iteration Pallas step handles history+termination+direction
+        return _lbfgs_fused_loop(value_and_grad, x0, opts, m, dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     lower = (_tmap(lambda l: jnp.full(l.shape, -big, dtype), x0)
              if lower is None
