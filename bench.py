@@ -15,8 +15,10 @@ tail value is the reproducible accuracy field.
 
 Env knobs: BENCH_DTYPE=f32|f64 (default f32), BENCH_NINIT (default 1,
 vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
-101), BENCH_MAXITER (default 500), BENCH_PALLAS=1 (fused Pallas FE
-forward), BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
+101), BENCH_MAXITER (default 500), BENCH_ENGINE=auto|xla|ag|pallas
+(action implementation; 'ag' = whole-problem fused action+grad kernel,
+kernels/ag_pallas.py; BENCH_PALLAS=1 is a legacy alias for 'pallas'),
+BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
 BENCH_TAIL64_TIMED=1 (legacy two-phase accuracy mode: the tail runs
 INSIDE the timed section — recovers the f64-level final action at ~f32
@@ -62,7 +64,17 @@ def main():
     tw = lorenz96_twin(D=20, N_data=161, n_obs=8)
     spec = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
                       disc="trapezoid", P=np.array([4.0]), pidx=[0])
+    engine = os.environ.get("BENCH_ENGINE", "auto")
     if os.environ.get("BENCH_PALLAS") == "1":
+        engine = "pallas"
+    if engine == "auto":
+        from varanneal_tpu.kernels.fe_pallas import select_action
+        action, parts = select_action(spec, dtype(1.0), engine="auto",
+                                      dtype=dtype)
+    elif engine == "ag":
+        from varanneal_tpu.kernels.ag_pallas import make_action_ag
+        action, parts = make_action_ag(spec)
+    elif engine == "pallas":
         from varanneal_tpu.kernels.fe_pallas import make_action_pallas
         action, parts = make_action_pallas(spec)
     else:

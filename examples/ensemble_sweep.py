@@ -33,10 +33,11 @@ def main():
                     help="single timed run (compile included; chunked "
                          "ladders amortize it) — for very large sweeps")
     ap.add_argument("--engine", type=str, default="auto",
-                    choices=["auto", "xla", "pallas"],
-                    help="action engine: auto picks the fused Pallas FE "
-                         "kernel in its measured-win regime (D>=256, "
-                         "one-step disc, f32 — this config at D=400)")
+                    choices=["auto", "xla", "pallas", "ag"],
+                    help="action engine: auto picks the measured winner "
+                         "per regime — the whole-problem fused "
+                         "action+grad kernel ('ag') at D>=256 one-step "
+                         "f32 (5.7x XLA at this config), XLA otherwise")
     ap.add_argument("--batch-chunk", type=int, default=0,
                     help="process the ensemble in member-chunks of this "
                          "size (one chip bounds per-dispatch size; a "

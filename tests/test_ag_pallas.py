@@ -1,0 +1,180 @@
+"""Whole-problem fused action+grad kernel (kernels/ag_pallas.py) must
+match the XLA action (itself pinned by the NumPy oracle, the SciPy
+golden ladders, and the C++ analytic gradients) in value and gradient,
+for every supported rf/RM shape, with and without stimulus, unbatched
+and vmapped. Draws are data-informed (physical magnitudes): on wild
+unphysical states both f32 paths lose digits to cancellation
+identically (measured vs an f64 reference), which says nothing about
+the kernel."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from varanneal_tpu.ops import build_spec
+from varanneal_tpu.ops.action import make_action, pack
+from varanneal_tpu.kernels import ag_pallas
+from varanneal_tpu.kernels.ag_pallas import make_action_ag, ag_supported
+from varanneal_tpu.twin import lorenz96_twin, nakl_twin
+from varanneal_tpu.models import lorenz96, nakl, NAKL_P_TRUE
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    ag_pallas.set_interpret(True)
+    yield
+    ag_pallas.set_interpret(False)
+
+
+def _l96_spec(disc="trapezoid", RM=None, N=81):
+    tw = lorenz96_twin(D=20, N_data=N, n_obs=8)
+    return build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"],
+                      tw["RM"] if RM is None else RM, disc=disc,
+                      P=np.array([4.0]), pidx=[0]), tw
+
+
+def _z0(spec, tw, rng, B=None):
+    """Data-informed decision draw(s): observed columns from data,
+    unobserved near the attractor scale, parameters near truth."""
+    def one():
+        X = rng.normal(2.0, 2.0, (spec.N_f, spec.D))
+        X[:, np.asarray(spec.Lidx)] = tw["Y"] + rng.normal(
+            0, 0.3, tw["Y"].shape)
+        return np.asarray(pack(spec, X, np.array([4.0 + rng.normal()])),
+                          np.float32)
+    if B is None:
+        return jnp.asarray(one())
+    return jnp.asarray(np.stack([one() for _ in range(B)]))
+
+
+def _check(spec, rf, z, rtol=2e-5):
+    act_x, _ = make_action(spec)
+    act_p, _ = make_action_ag(spec)
+    vag_x = jax.value_and_grad(lambda u: act_x(u, rf))
+    vag_p = jax.value_and_grad(lambda u: act_p(u, rf))
+    if z.ndim == 2:
+        vag_x, vag_p = jax.vmap(vag_x), jax.vmap(vag_p)
+    (vx, gx), (vp, gp) = vag_x(z), vag_p(z)
+    vx, gx, vp, gp = map(np.asarray, (vx, gx, vp, gp))
+    np.testing.assert_allclose(vp, vx, rtol=rtol)
+    scale = np.abs(gx).max(axis=-1, keepdims=True)
+    np.testing.assert_allclose(gp / scale, gx / scale, atol=rtol)
+
+
+@pytest.mark.parametrize("disc", ["trapezoid", "euler", "forwardmap"])
+def test_matches_xla_scalar_rf(disc):
+    rng = np.random.default_rng(1)
+    spec, tw = _l96_spec(disc)
+    assert ag_supported(spec, jnp.float32(3.0))
+    _check(spec, jnp.float32(3.0), _z0(spec, tw, rng))
+
+
+def test_matches_xla_diag_rf_and_rm():
+    rng = np.random.default_rng(2)
+    spec, tw = _l96_spec()
+    rf = jnp.asarray(rng.uniform(0.5, 2.0, (spec.N_f - 1, spec.D)),
+                     jnp.float32)
+    assert ag_supported(spec, rf)
+    _check(spec, rf, _z0(spec, tw, rng))
+    RM2 = rng.uniform(0.5, 2.0, (spec.N_data, spec.L))
+    spec2, _ = _l96_spec(RM=RM2)
+    _check(spec2, jnp.float32(1.3), _z0(spec2, tw, rng))
+
+
+def test_matches_xla_vmapped():
+    rng = np.random.default_rng(3)
+    spec, tw = _l96_spec()
+    _check(spec, jnp.float32(2.0), _z0(spec, tw, rng, B=3))
+    rf = jnp.asarray(rng.uniform(0.5, 2.0, (spec.N_f - 1, spec.D)),
+                     jnp.float32)
+    _check(spec, rf, _z0(spec, tw, rng, B=3))
+
+
+def test_matches_xla_nakl_stimulus():
+    rng = np.random.default_rng(4)
+    tw = nakl_twin(N=301)
+    spec = build_spec(nakl, 4, tw["V"], tw["t"], [0], 1.0,
+                      disc="trapezoid", P=NAKL_P_TRUE,
+                      pidx=list(range(len(NAKL_P_TRUE))),
+                      stim=tw["stim"])
+    assert ag_supported(spec, jnp.float32(0.9))
+
+    def draw(B=None):
+        def one():
+            X = np.zeros((spec.N_f, 4))
+            X[:, 0] = tw["V"][:, 0] + rng.normal(0, 1.0, spec.N_f)
+            X[:, 1:] = rng.uniform(0.05, 0.95, (spec.N_f, 3))
+            P = np.asarray(NAKL_P_TRUE) * rng.uniform(0.8, 1.2,
+                                                      len(NAKL_P_TRUE))
+            return np.asarray(pack(spec, X, P), np.float32)
+        if B is None:
+            return jnp.asarray(one())
+        return jnp.asarray(np.stack([one() for _ in range(B)]))
+
+    _check(spec, jnp.float32(0.9), draw(), rtol=5e-5)
+    _check(spec, jnp.float32(0.9), draw(B=2), rtol=5e-5)
+
+
+def test_supported_predicate_negatives():
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+    sh = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
+                    disc="SimpsonHermite", P=np.array([4.0]), pidx=[0])
+    assert not ag_supported(sh, jnp.float32(1.0))        # two-step disc
+    tr = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
+                    disc="trapezoid", P=np.array([4.0]), pidx=[0])
+    assert not ag_supported(tr, jnp.float32(1.0), dtype=np.float64)
+    rf3 = jnp.ones((tr.N_f - 1, 20, 20), jnp.float32)    # matrix R
+    assert not ag_supported(tr, rf3)
+    fine = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"],
+                      tw["RM"], disc="trapezoid", P=np.array([4.0]),
+                      pidx=[0], dt_model=tw["dt"] / 2)   # obs_stride 2
+    assert not ag_supported(fine, jnp.float32(1.0))
+
+
+def test_vmapped_ensemble_ladder():
+    """Regression: the ag action inside a VMAPPED ensemble ladder — a
+    vmapped lax.while_loop instantiates closure constants as batched
+    and custom_vmap rejects batched jaxpr consts, so the observation
+    constants must ride as explicit arguments (CLAUDE.md gotcha; same
+    as the fe_pallas SH wrapper)."""
+    from varanneal_tpu.parallel import make_ensemble_ladder
+    from varanneal_tpu.opt import LBFGSOptions
+
+    rng = np.random.default_rng(6)
+    spec, tw = _l96_spec(N=41)
+    act, parts = make_action_ag(spec)
+    z = _z0(spec, tw, rng, B=2)
+    betas = np.arange(4, dtype=np.float32)
+    fn = make_ensemble_ladder(act, parts, betas, np.float32(1e-4), 1.5,
+                              opts=LBFGSOptions(maxiter=30,
+                                                direction="compact"))
+    res = fn(z)
+    A = np.asarray(res.A)
+    assert A.shape == (2, 4) and np.all(np.isfinite(A))
+
+
+def test_solver_end_to_end_ag_action():
+    """The fused action drives a real mini-ladder to the same optimum
+    as the XLA action (same rungs, same solver)."""
+    from varanneal_tpu.anneal.ladder import run_ladder
+    from varanneal_tpu.opt import LBFGSOptions
+
+    rng = np.random.default_rng(5)
+    spec, tw = _l96_spec(N=41)
+    act_x, parts_x = make_action(spec)
+    act_p, parts_p = make_action_ag(spec)
+    z0 = _z0(spec, tw, rng)
+    betas = np.arange(8, dtype=np.float32)
+    opts = LBFGSOptions(maxiter=150, pgtol=1e-7, direction="compact")
+    rx = run_ladder(act_x, parts_x, z0, betas, np.float32(1e-4), 1.5,
+                    opts=opts)
+    rp = run_ladder(act_p, parts_p, z0, betas, np.float32(1e-4), 1.5,
+                    opts=opts)
+    Ax, Ap = np.asarray(rx.A), np.asarray(rp.A)
+    # two f32 optimizers on identical-to-roundoff objectives follow
+    # slightly different iterate paths; assert matched LADDER QUALITY
+    # (every rung within 10%, identical optimum at the end) rather than
+    # per-iterate equality
+    np.testing.assert_allclose(Ap, Ax, rtol=0.1)
+    assert Ap[-1] <= Ax[-1] * 1.02

@@ -189,9 +189,12 @@ class Annealer:
         ``R_time_dependent``: disambiguates 2-D RM/RF0 when the time and
         component dimensions coincide (True = (N, K) per-time diagonal,
         False = (K, K) matrix; default warns and reads time-dependent);
-        ``engine``: ``'auto'`` (default — fused Pallas FE kernel in its
-        measured-win regime, D>=256 one-step discs in f32 on an
-        accelerator; XLA otherwise), ``'xla'``, or ``'pallas'`` (forced);
+        ``engine``: ``'auto'`` (default — each Pallas engine in its
+        measured-win regime: the whole-problem fused action+grad kernel
+        for D>=256 one-step discs in f32 on an accelerator, 5.7x XLA at
+        the D=400 sweep config; XLA otherwise), ``'xla'``, ``'pallas'``
+        (blocked FE kernel, forced), or ``'ag'`` (whole-problem fused
+        action+grad kernel, forced — kernels/ag_pallas.py);
         ``repeats``: re-minimize every β rung this many times (warm-
         started, one bounded dispatch each — deep per-rung solves under
         this testbed's ~60 s dispatch cap; records stay per-rung);

@@ -1,0 +1,369 @@
+"""Whole-problem fused action+GRADIENT Pallas kernel (one-step discs).
+
+Motivation (PARITY.md roofline): at the canonical bench scale the ladder
+is SERIALIZATION-bound — an L-BFGS iteration is a chain of small XLA
+kernels and per-launch fixed cost dominates. The existing FE kernel
+(``fe_pallas.py``) only fuses the model-error *residual* assembly and
+only wins at D>=256. At small problems the WHOLE decision state fits
+VMEM many times over (canonical config: 161 x 20 f32 = 13 KB), so the
+right design is the opposite extreme:
+
+    ONE kernel launch per action+gradient evaluation, computing the
+    measurement error, the discretization residuals, the annealed
+    model error, AND the full adjoint (via ``jax.vjp`` traced *inside*
+    the kernel) over the whole time window at once.
+
+The line-search evaluation — the innermost hot call of the entire
+framework (~1.3 per L-BFGS iteration) — then costs one launch instead
+of the XLA chain. ``jax.value_and_grad`` of the returned action hits a
+``custom_vjp`` whose forward already produced the gradient; the
+backward is a free cotangent scale.
+
+Design notes (measured constraints shared with dir_pallas.py):
+  - the row shift x_{n+1} is a one-hot shift-matrix matmul at HIGHEST
+    precision (differentiable, exact, MXU-trivial; Mosaic rejects
+    sublane-offset slices);
+  - observations enter pre-EMBEDDED into D-space host-side (Y_emb with
+    targets at Lidx columns, W_emb with the RM weights there, zero
+    elsewhere) so the ME term is a masked elementwise quadratic — no
+    gathers; this also covers scalar and (N_data, L)-diagonal RM with
+    one code path;
+  - the stimulus rows and their +1 shift are constants — both views are
+    prepared host-side;
+  - model-grid times are affine in the row index (grid uniformity is a
+    predicate condition), rebuilt from an in-kernel iota;
+  - members ride the Pallas GRID via ``jax.custom_batching`` (shared
+    constants map to block 0; a shared rf is NOT broadcast per member).
+
+Reference semantics: ``varanneal/va_ode.py :: Annealer.A_gaussian``
+(action = ME + FE with the 1/(L*N_data) and 1/(D*(N_f-1))
+normalizations) [M, SURVEY.md §3.2], pinned here by parity tests
+against ``ops.action.make_action`` (itself pinned by the NumPy oracle,
+the SciPy golden ladders, and the C++ analytic gradients).
+
+Supported regime (``ag_supported``): one-step discretizations, f32,
+static parameters, contiguous observation window (obs_stride == 1),
+scalar or (N_data, L)-diagonal RM, scalar or (N_f-1, D)-diagonal RF,
+uniform grid, padded state <= 2M floats. Everything else falls back to
+the XLA action.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from varanneal_tpu.ops.spec import ProblemSpec
+from varanneal_tpu.ops import action as _action
+from varanneal_tpu.kernels.fe_pallas import _uniform_grid, _grid_dt
+
+_INTERPRET = [False]
+
+
+def set_interpret(flag: bool):
+    _INTERPRET[0] = bool(flag)
+
+
+def _pad_to(v, mult):
+    return -(-v // mult) * mult
+
+
+def ag_supported(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
+    """Static predicate: the whole-problem fused action+grad kernel
+    applies to this problem."""
+    rf_nd = np.ndim(rf)
+    RM_nd = np.ndim(spec.RM)
+    return (spec.disc in ("euler", "trapezoid", "forwardmap")
+            and not spec.time_dep_p
+            and spec.obs_stride == 1
+            and np.dtype(dtype) == np.float32
+            and rf_nd in (0, 2)
+            and RM_nd in (0, 2)
+            and _uniform_grid(spec)
+            # whole (N_pad, D_pad) block + vjp residuals must sit well
+            # inside VMEM (~16 MB): cap the padded state at 2M floats
+            and _pad_to(spec.N_f, 8) * _pad_to(spec.D, 128) <= 2 ** 21)
+
+
+def _mm(x, y):
+    # HIGHEST: the MXU's default f32 path rounds operands to bf16; the
+    # shift matmul must reproduce x values exactly
+    return jnp.dot(x, y, preferred_element_type=x.dtype,
+                   precision=lax.Precision.HIGHEST)
+
+
+def _ag_kernel(spec, has_stim, rf_diag, *refs):
+    """One member. Inputs:
+      X_ref  (1, N_pad, D_pad)  state rows (rows >= N_f zero),
+      p_ref  (1, 1, NP_pad)     full merged parameter row,
+      rf_ref (1, 1, 1) SMEM scalar | (1, N_pad, D_pad) VMEM diag,
+      y_ref  (1, N_pad, D_pad)  embedded observation targets,
+      w_ref  (1, N_pad, D_pad)  embedded RM weights (zero = unobserved),
+      s0_ref/s1_ref (1, N_pad, S_pad)  stimulus rows n and n+1 (opt.)
+    Outputs:
+      a_ref  (1, 1, 1) SMEM action value,
+      gx_ref (1, N_pad, D_pad)  dA/dX,
+      gp_ref (1, 1, NP_pad)     dA/dp (full row; caller slices pidx)."""
+    if has_stim:
+        (X_ref, p_ref, rf_ref, y_ref, w_ref, s0_ref, s1_ref,
+         a_ref, gx_ref, gp_ref) = refs
+    else:
+        X_ref, p_ref, rf_ref, y_ref, w_ref, a_ref, gx_ref, gp_ref = refs
+    X = X_ref[0]                                   # (N_pad, D_pad)
+    dtype = X.dtype
+    N_pad, D_pad = X.shape
+    D, N_f = spec.D, spec.N_f
+    h = jnp.asarray(spec.dt, dtype)
+
+    # shift matrix: output row n = input row n+1 (zero last row)
+    ri = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 1)
+    S = (ci == ri + 1).astype(dtype)
+
+    t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
+    gdt = jnp.asarray(_grid_dt(spec), dtype)
+    # tpu.iota is integer-only (measured): int32 iota then cast
+    t = (t0 + gdt * lax.broadcasted_iota(
+        jnp.int32, (N_pad, 1), 0).astype(dtype))[:, 0]
+    rmask = (lax.broadcasted_iota(jnp.int32, (N_pad, D_pad), 0)
+             < N_f - 1).astype(dtype)              # valid residual rows
+    Y_emb = y_ref[0]
+    W_emb = w_ref[0]
+    if has_stim:
+        s_n = s0_ref[0][:, : spec.stim_f.shape[1]]
+        s_np1 = s1_ref[0][:, : spec.stim_f.shape[1]]
+    else:
+        s_n = s_np1 = None
+    rf_w = rf_ref[0] if rf_diag else rf_ref[0, 0, 0]
+
+    me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
+    fe_norm = jnp.asarray(1.0 / (spec.D * (spec.N_f - 1)), dtype)
+
+    def call_f(tt, xx, pp, ss):
+        if ss is None:
+            return spec.f(tt, xx, pp)
+        return spec.f(tt, xx, (pp, ss))
+
+    def fwd(Xv, p2):
+        p = p2[0, : spec.NP]
+        x = Xv[:, :D]
+        x1 = _mm(S, Xv)[:, :D]
+        f_n = call_f(t, x, p, s_n)
+        if spec.disc == "trapezoid":
+            f_np1 = call_f(t + h, x1, p, s_np1)
+            r = x1 - x - (h / 2.0) * (f_n + f_np1)
+        elif spec.disc == "euler":
+            r = x1 - x - h * f_n
+        else:                                      # forwardmap
+            r = x1 - f_n
+        if D_pad > D:
+            r = jnp.concatenate(
+                [r, jnp.zeros((N_pad, D_pad - D), dtype)], axis=1)
+        fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
+        dobs = Xv - Y_emb
+        me = me_norm * jnp.sum(W_emb * dobs * dobs)
+        return me + fe
+
+    val, vjp = jax.vjp(fwd, X, p_ref[0])
+    gX, gp2 = vjp(jnp.ones((), dtype))
+    a_ref[0, 0, 0] = val
+    gx_ref[0] = gX
+    gp_ref[0] = gp2
+
+
+def _ag_batched(spec, has_stim, rf_diag, rf_shared, X, p2, rf_in, yv, wv,
+                st0, st1):
+    """X (B, N_pad, D_pad), p2 (B, 1, NP_pad); rf_in (B, 1, 1) SMEM
+    scalar | (B|1, N_pad, D_pad) diag (leading 1 = shared across
+    members); yv/wv/st* shared (1, ...) constants. Small per-member
+    arrays are 3-D (B, 1, k) — Mosaic requires the LAST TWO block dims
+    tile-divisible or equal to the array dims (measured at B > 1)."""
+    B, N_pad, D_pad = X.shape
+    NP_pad = p2.shape[-1]
+    kern = functools.partial(_ag_kernel, spec, has_stim, rf_diag)
+    vmem = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, N_pad, D_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+    ]
+    if rf_diag:
+        if rf_shared:
+            in_specs.append(pl.BlockSpec((1, N_pad, D_pad),
+                                         lambda b: (b * 0, b * 0, b * 0),
+                                         memory_space=vmem))
+        else:
+            in_specs.append(pl.BlockSpec((1, N_pad, D_pad),
+                                         lambda b: (b, b * 0, b * 0),
+                                         memory_space=vmem))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1),
+                                     lambda b: (b, b * 0, b * 0),
+                                     memory_space=pltpu.SMEM))
+    shared = pl.BlockSpec((1, N_pad, D_pad), lambda b: (b * 0, b * 0, b * 0),
+                          memory_space=vmem)
+    in_specs += [shared, shared]
+    args = [X, p2, rf_in, yv, wv]
+    if has_stim:
+        S_pad = st0.shape[-1]
+        sshared = pl.BlockSpec((1, N_pad, S_pad), lambda b: (b * 0, b * 0, b * 0),
+                               memory_space=vmem)
+        in_specs += [sshared, sshared]
+        args += [st0, st1]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1), lambda b: (b, b * 0, b * 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N_pad, D_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, 1), X.dtype),
+        jax.ShapeDtypeStruct((B, N_pad, D_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, NP_pad), X.dtype),
+    ]
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=_INTERPRET[0])(*args)
+
+
+def make_action_ag(spec: ProblemSpec):
+    """Build ``(action, action_parts)``: ``action(XP, rf)`` carries a
+    custom_vjp whose FORWARD computes value AND gradient in one Pallas
+    launch, so ``jax.value_and_grad(action)`` costs a single kernel.
+    ``action_parts`` stays on the XLA path (used once per rung for
+    records, not in the hot loop). Same contract as
+    ``ops.action.make_action``; only valid where :func:`ag_supported`."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    N_pad = _pad_to(N_f, 8)
+    D_pad = _pad_to(D, 128)
+    NP_pad = _pad_to(max(NP, 1), 128)
+
+    # --- host-side constants ------------------------------------------
+    RM = np.asarray(spec.RM, dtype=np.float32)
+    Lidx = np.asarray(spec.Lidx, dtype=np.int32)
+    Y = np.asarray(spec.Y, dtype=np.float32)
+    Y_emb = np.zeros((N_pad, D_pad), np.float32)
+    W_emb = np.zeros((N_pad, D_pad), np.float32)
+    Y_emb[: spec.N_data, Lidx] = Y
+    W_emb[: spec.N_data, Lidx] = RM
+    yv = jnp.asarray(Y_emb)[None]
+    wv = jnp.asarray(W_emb)[None]
+
+    has_stim = spec.stim_f is not None
+    if has_stim:
+        stim = np.asarray(spec.stim_f, np.float32)
+        S_pad = _pad_to(stim.shape[1], 128)
+        s0 = np.zeros((N_pad, S_pad), np.float32)
+        s1 = np.zeros((N_pad, S_pad), np.float32)
+        s0[:N_f, : stim.shape[1]] = stim
+        s1[: N_f - 1, : stim.shape[1]] = stim[1:]
+        st0, st1 = jnp.asarray(s0)[None], jnp.asarray(s1)[None]
+    else:
+        st0 = st1 = None
+
+    def _prep(XP, rf):
+        X = XP[: spec.n_state].reshape(N_f, D)
+        pest = XP[spec.n_state:]
+        P = _action.merge_params(spec, pest, XP.dtype)
+        Xp = jnp.zeros((N_pad, D_pad), XP.dtype).at[:N_f, :D].set(X)
+        p2 = jnp.zeros((1, NP_pad), XP.dtype)
+        if NP:
+            p2 = p2.at[0, :NP].set(P)
+        rf = jnp.asarray(rf, XP.dtype)
+        if rf.ndim == 2:
+            rfp = jnp.zeros((N_pad, D_pad), XP.dtype).at[
+                : N_f - 1, :D].set(rf[: N_f - 1])
+            return Xp, p2, rfp, True
+        return Xp, p2, rf.reshape(1, 1), False
+
+    _cache = {}
+
+    def _get_ag_fn(rf_is_diag):
+        """custom_vmap'd (Xp, p2, rf_in, consts...) -> (a, gX, gp2); per
+        rf-kind (static). The observation/stimulus constants are
+        EXPLICIT ARGUMENTS, not closure consts: a vmapped lax.while_loop
+        (the L-BFGS inner loop) instantiates closure constants as
+        batched-broadcast, and custom_vmap rejects batched jaxpr consts
+        (the measured limitation — same pattern as the fe_pallas SH
+        wrapper; consts arriving batched are sliced back to [0:1] in
+        the rule)."""
+        if rf_is_diag in _cache:
+            return _cache[rf_is_diag]
+
+        @jax.custom_batching.custom_vmap
+        def ag_fn(Xp, p2, rf_in, *consts):
+            cy, cw = consts[0], consts[1]
+            c0, c1 = (consts[2], consts[3]) if has_stim else (None, None)
+            a, gX, gp2 = _ag_batched(spec, has_stim, rf_is_diag, False,
+                                     Xp[None], p2[None], rf_in[None],
+                                     cy, cw, c0, c1)
+            return a[0, 0, 0], gX[0], gp2[0]
+
+        @ag_fn.def_vmap
+        def _ag_vmap(axis_size, in_batched, Xp, p2, rf_in, *consts):
+            B = axis_size
+
+            def bc(v, isb):
+                return v if isb else jnp.broadcast_to(
+                    v[None], (B,) + v.shape)
+
+            # broadcast-batched constants fold back to their shared row
+            # (they already carry a leading shared-block axis of 1)
+            consts = [c[0] if isb else c
+                      for c, isb in zip(consts, in_batched[3:])]
+            cy, cw = consts[0], consts[1]
+            c0, c1 = (consts[2], consts[3]) if has_stim else (None, None)
+            Xp = bc(Xp, in_batched[0])
+            p2 = bc(p2, in_batched[1])
+            rf_shared = rf_is_diag and not in_batched[2]
+            if rf_shared:
+                rf_in = rf_in[None]          # (1, N_pad, D_pad) block 0
+            else:
+                rf_in = bc(rf_in, in_batched[2])
+            a, gX, gp2 = _ag_batched(spec, has_stim, rf_is_diag,
+                                     rf_shared, Xp, p2, rf_in, cy, cw,
+                                     c0, c1)
+            return (a[:, 0, 0], gX, gp2), (True, True, True)
+
+        def call(Xp, p2, rf_in):
+            consts = (yv, wv, st0, st1) if has_stim else (yv, wv)
+            return ag_fn(Xp, p2, rf_in, *consts)
+
+        _cache[rf_is_diag] = call
+        return call
+
+    def _unpack_grad(gX, gp2):
+        gx_flat = gX[:N_f, :D].reshape(-1)
+        if spec.NPest:
+            pcols = np.asarray(spec.pidx, dtype=np.int32)
+            return jnp.concatenate([gx_flat, gp2[0, pcols]])
+        return gx_flat
+
+    @jax.custom_vjp
+    def action(XP, rf):
+        Xp, p2, rf_in, is_diag = _prep(XP, rf)
+        a, _, _ = _get_ag_fn(is_diag)(Xp, p2, rf_in)
+        return a
+
+    def action_fwd(XP, rf):
+        Xp, p2, rf_in, is_diag = _prep(XP, rf)
+        a, gX, gp2 = _get_ag_fn(is_diag)(Xp, p2, rf_in)
+        return a, (_unpack_grad(gX, gp2), rf)
+
+    def action_bwd(res, ct):
+        g, rf = res
+        return (ct * g, jnp.zeros_like(jnp.asarray(rf)))
+
+    action.defvjp(action_fwd, action_bwd)
+
+    # records path (once per rung): plain XLA
+    _, xla_parts = _action.make_action(spec)
+    return action, xla_parts

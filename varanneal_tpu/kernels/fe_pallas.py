@@ -909,17 +909,46 @@ def pallas_preferred(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
             and fe_supported(spec, rf))
 
 
+def ag_preferred(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
+    """Measured-win predicate for the whole-problem fused action+grad
+    kernel (kernels/ag_pallas.py) under ``engine='auto'``.
+
+    Measured on the chip (PARITY.md fused-iteration section): at the
+    D=400 batched config the ag kernel is 5.7x XLA and 2.3x the blocked
+    FE kernel (7.9 vs 17.9 vs 45.1 us/member-eval at B=64), so it OWNS
+    the D >= 256 one-step regime; at D=20/B=1 it is a wash in isolation
+    and a net loss end-to-end (pack/unpack glue + 16% lane utilization),
+    so small D stays on XLA."""
+    from varanneal_tpu.kernels.ag_pallas import ag_supported
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return (platform != "cpu"
+            and np.dtype(dtype) == np.float32
+            and spec.D >= _AUTO_MIN_D
+            and ag_supported(spec, rf, dtype))
+
+
 def select_action(spec: ProblemSpec, rf, engine: str = "auto",
                   dtype=np.float32, block_n: int = 64,
                   pallas_backward: bool = True):
-    """Pick the action implementation: ``'xla'``, ``'pallas'``, or
-    ``'auto'`` (Pallas only in its measured-win regime, see
-    :func:`pallas_preferred`). Returns the same ``(action, action_parts)``
+    """Pick the action implementation: ``'xla'``, ``'pallas'`` (blocked
+    FE kernel, forced), ``'ag'`` (whole-problem fused action+grad
+    kernel, forced), or ``'auto'`` (each Pallas engine only in its
+    measured-win regime, see :func:`pallas_preferred` /
+    :func:`ag_preferred`). Returns the same ``(action, action_parts)``
     contract as ``ops.action.make_action``."""
-    if engine not in ("auto", "xla", "pallas"):
-        raise ValueError(f"engine must be auto/xla/pallas, got {engine!r}")
-    if engine == "pallas" or (engine == "auto"
-                              and pallas_preferred(spec, rf, dtype)):
+    if engine not in ("auto", "xla", "pallas", "ag"):
+        raise ValueError(
+            f"engine must be auto/xla/pallas/ag, got {engine!r}")
+    if engine == "ag" or (engine == "auto"
+                          and ag_preferred(spec, rf, dtype)):
+        from varanneal_tpu.kernels.ag_pallas import make_action_ag
+        act, parts = make_action_ag(spec)
+        act.engine = "ag"
+    elif engine == "pallas" or (engine == "auto"
+                                and pallas_preferred(spec, rf, dtype)):
         act, parts = make_action_pallas(spec, block_n=block_n,
                                         pallas_backward=pallas_backward)
         act.engine = "pallas"
