@@ -116,6 +116,30 @@ def test_matches_xla_nakl_stimulus():
     _check(spec, jnp.float32(0.9), draw(B=2), rtol=5e-5)
 
 
+@pytest.mark.parametrize("disc", ["trapezoid", "euler", "forwardmap"])
+def test_transposed_matches_xla(disc):
+    """The transposed-layout kernel (make_action_ag_t + the
+    f.transposed model contract) must match the XLA action. Measured
+    perf-negative in its candidate regimes (PARITY.md) — kept opt-in,
+    pinned here for correctness."""
+    from varanneal_tpu.kernels.ag_pallas import (make_action_ag_t,
+                                                 agt_supported)
+    rng = np.random.default_rng(7)
+    spec, tw = _l96_spec(disc)
+    assert agt_supported(spec, jnp.float32(3.0))
+    act_x, _ = make_action(spec)
+    act_t, _ = make_action_ag_t(spec)
+    z = _z0(spec, tw, rng, B=2)
+    vx, gx = jax.vmap(jax.value_and_grad(
+        lambda u: act_x(u, jnp.float32(3.0))))(z)
+    vt, gt = jax.vmap(jax.value_and_grad(
+        lambda u: act_t(u, jnp.float32(3.0))))(z)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(vx), rtol=2e-5)
+    scale = np.abs(np.asarray(gx)).max()
+    np.testing.assert_allclose(np.asarray(gt) / scale,
+                               np.asarray(gx) / scale, atol=2e-5)
+
+
 def test_supported_predicate_negatives():
     tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
     sh = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],

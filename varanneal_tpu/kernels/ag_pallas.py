@@ -367,3 +367,228 @@ def make_action_ag(spec: ProblemSpec):
     # records path (once per rung): plain XLA
     _, xla_parts = _action.make_action(spec)
     return action, xla_parts
+
+
+# ---------------------------------------------------------------------------
+# transposed layout (components on sublanes, time on lanes) — small D
+# ---------------------------------------------------------------------------
+
+def agt_supported(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
+    """Predicate for the TRANSPOSED whole-problem kernel: everything
+    ``ag_supported`` needs, plus a model that ships a ``.transposed``
+    variant (see models/lorenz.py docstring), no stimulus (not yet
+    routed in this layout), and small D — at D << 128 the row-major
+    layout uses D/128 of the vector lanes while the transposed one uses
+    ~D/D_pad of the whole tile."""
+    return (ag_supported(spec, rf, dtype)
+            and spec.stim_f is None
+            and hasattr(spec.f, "transposed")
+            and spec.D <= 64)
+
+
+def _agt_kernel(spec, rf_diag, fT, *refs):
+    """One member, TRANSPOSED layout. Inputs:
+      X_ref  (1, D_pad, N_pad)  xT block (rows >= D, cols >= N_f zero),
+      p_ref  (1, 1, NP_pad), rf_ref (1, 1, 1) SMEM | (1, D_pad, N_pad),
+      y_ref/w_ref (1, D_pad, N_pad)  embedded obs targets/RM weights.
+    Outputs: a_ref (1, 1, 1) SMEM, gx_ref (1, D_pad, N_pad),
+      gp_ref (1, 1, NP_pad)."""
+    X_ref, p_ref, rf_ref, y_ref, w_ref, a_ref, gx_ref, gp_ref = refs
+    XT = X_ref[0]                                  # (D_pad, N_pad)
+    dtype = XT.dtype
+    D_pad, N_pad = XT.shape
+    D, N_f = spec.D, spec.N_f
+    h = jnp.asarray(spec.dt, dtype)
+
+    # lane shift: (XT @ S)[d, n] = XT[d, n+1] (zero last column)
+    ri = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 1)
+    S = (ri == ci + 1).astype(dtype)
+
+    t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
+    gdt = jnp.asarray(_grid_dt(spec), dtype)
+    t = t0 + gdt * lax.broadcasted_iota(
+        jnp.int32, (1, N_pad), 1).astype(dtype)    # (1, N_pad) row
+    rmask = ((lax.broadcasted_iota(jnp.int32, (D_pad, N_pad), 1)
+              < N_f - 1)
+             & (lax.broadcasted_iota(jnp.int32, (D_pad, N_pad), 0)
+                < D)).astype(dtype)
+    Y_emb = y_ref[0]
+    W_emb = w_ref[0]
+    rf_w = rf_ref[0] if rf_diag else rf_ref[0, 0, 0]
+
+    me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
+    fe_norm = jnp.asarray(1.0 / (spec.D * (spec.N_f - 1)), dtype)
+
+    def fwd(XTv, p2):
+        p = p2[0, : spec.NP]
+        xt1 = _mm(XTv, S)
+        f_n = fT(t, XTv, p)
+        if spec.disc == "trapezoid":
+            f_np1 = fT(t + h, xt1, p)
+            r = xt1 - XTv - (h / 2.0) * (f_n + f_np1)
+        elif spec.disc == "euler":
+            r = xt1 - XTv - h * f_n
+        else:                                      # forwardmap
+            r = xt1 - f_n
+        fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
+        dobs = XTv - Y_emb
+        me = me_norm * jnp.sum(W_emb * dobs * dobs)
+        return me + fe
+
+    val, vjp = jax.vjp(fwd, XT, p_ref[0])
+    gX, gp2 = vjp(jnp.ones((), dtype))
+    a_ref[0, 0, 0] = val
+    gx_ref[0] = gX
+    gp_ref[0] = gp2
+
+
+def _agt_batched(spec, rf_diag, rf_shared, fT, X, p2, rf_in, yv, wv):
+    """Transposed batched launch: X (B, D_pad, N_pad); rest as
+    _ag_batched (3-D small blocks, shared constants on block 0)."""
+    B, D_pad, N_pad = X.shape
+    NP_pad = p2.shape[-1]
+    kern = functools.partial(_agt_kernel, spec, rf_diag, fT)
+    vmem = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, D_pad, N_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+    ]
+    if rf_diag:
+        if rf_shared:
+            in_specs.append(pl.BlockSpec(
+                (1, D_pad, N_pad), lambda b: (b * 0, b * 0, b * 0),
+                memory_space=vmem))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, D_pad, N_pad), lambda b: (b, b * 0, b * 0),
+                memory_space=vmem))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1, 1),
+                                     lambda b: (b, b * 0, b * 0),
+                                     memory_space=pltpu.SMEM))
+    shared = pl.BlockSpec((1, D_pad, N_pad),
+                          lambda b: (b * 0, b * 0, b * 0),
+                          memory_space=vmem)
+    in_specs += [shared, shared]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1), lambda b: (b, b * 0, b * 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, D_pad, N_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
+                     memory_space=vmem),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, 1), X.dtype),
+        jax.ShapeDtypeStruct((B, D_pad, N_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, NP_pad), X.dtype),
+    ]
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=_INTERPRET[0])(
+        X, p2, rf_in, yv, wv)
+
+
+def make_action_ag_t(spec: ProblemSpec):
+    """Transposed-layout variant of :func:`make_action_ag` (same
+    ``(action, action_parts)`` contract). Only valid where
+    :func:`agt_supported`."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    D_pad = _pad_to(max(D, 8), 8)
+    N_pad = _pad_to(N_f, 128)
+    NP_pad = _pad_to(max(NP, 1), 128)
+    fT = spec.f.transposed(D)
+
+    RM = np.asarray(spec.RM, dtype=np.float32)
+    Lidx = np.asarray(spec.Lidx, dtype=np.int32)
+    Y = np.asarray(spec.Y, dtype=np.float32)
+    Y_emb = np.zeros((D_pad, N_pad), np.float32)
+    W_emb = np.zeros((D_pad, N_pad), np.float32)
+    Y_emb[Lidx, : spec.N_data] = Y.T
+    W_emb[Lidx, : spec.N_data] = RM.T if RM.ndim else RM
+    yv = jnp.asarray(Y_emb)[None]
+    wv = jnp.asarray(W_emb)[None]
+
+    def _prep(XP, rf):
+        X = XP[: spec.n_state].reshape(N_f, D)
+        pest = XP[spec.n_state:]
+        P = _action.merge_params(spec, pest, XP.dtype)
+        Xp = jnp.zeros((D_pad, N_pad), XP.dtype).at[:D, :N_f].set(X.T)
+        p2 = jnp.zeros((1, NP_pad), XP.dtype)
+        if NP:
+            p2 = p2.at[0, :NP].set(P)
+        rf = jnp.asarray(rf, XP.dtype)
+        if rf.ndim == 2:
+            rfp = jnp.zeros((D_pad, N_pad), XP.dtype).at[
+                :D, : N_f - 1].set(rf[: N_f - 1].T)
+            return Xp, p2, rfp, True
+        return Xp, p2, rf.reshape(1, 1), False
+
+    _cache = {}
+
+    def _get_fn(rf_is_diag):
+        if rf_is_diag in _cache:
+            return _cache[rf_is_diag]
+
+        @jax.custom_batching.custom_vmap
+        def agt_fn(Xp, p2, rf_in, cy, cw):
+            a, gX, gp2 = _agt_batched(spec, rf_is_diag, False, fT,
+                                      Xp[None], p2[None], rf_in[None],
+                                      cy, cw)
+            return a[0, 0, 0], gX[0], gp2[0]
+
+        @agt_fn.def_vmap
+        def _agt_vmap(axis_size, in_batched, Xp, p2, rf_in, cy, cw):
+            B = axis_size
+
+            def bc(v, isb):
+                return v if isb else jnp.broadcast_to(
+                    v[None], (B,) + v.shape)
+
+            cy = cy[0] if in_batched[3] else cy
+            cw = cw[0] if in_batched[4] else cw
+            Xp = bc(Xp, in_batched[0])
+            p2 = bc(p2, in_batched[1])
+            rf_shared = rf_is_diag and not in_batched[2]
+            if rf_shared:
+                rf_in = rf_in[None]
+            else:
+                rf_in = bc(rf_in, in_batched[2])
+            a, gX, gp2 = _agt_batched(spec, rf_is_diag, rf_shared, fT,
+                                      Xp, p2, rf_in, cy, cw)
+            return (a[:, 0, 0], gX, gp2), (True, True, True)
+
+        def call(Xp, p2, rf_in):
+            return agt_fn(Xp, p2, rf_in, yv, wv)
+
+        _cache[rf_is_diag] = call
+        return call
+
+    def _unpack_grad(gX, gp2):
+        gx_flat = gX[:D, :N_f].T.reshape(-1)
+        if spec.NPest:
+            pcols = np.asarray(spec.pidx, dtype=np.int32)
+            return jnp.concatenate([gx_flat, gp2[0, pcols]])
+        return gx_flat
+
+    @jax.custom_vjp
+    def action(XP, rf):
+        Xp, p2, rf_in, is_diag = _prep(XP, rf)
+        a, _, _ = _get_fn(is_diag)(Xp, p2, rf_in)
+        return a
+
+    def action_fwd(XP, rf):
+        Xp, p2, rf_in, is_diag = _prep(XP, rf)
+        a, gX, gp2 = _get_fn(is_diag)(Xp, p2, rf_in)
+        return a, (_unpack_grad(gX, gp2), rf)
+
+    def action_bwd(res, ct):
+        g, rf = res
+        return (ct * g, jnp.zeros_like(jnp.asarray(rf)))
+
+    action.defvjp(action_fwd, action_bwd)
+    _, xla_parts = _action.make_action(spec)
+    return action, xla_parts

@@ -2,9 +2,36 @@
 
 Lorenz-96 is the canonical VA twin-experiment model (reference bundled CPU
 example: D=20, L=8 observed, trapezoidal, N=161 — BASELINE.json config #1).
+
+Models may optionally carry a ``.transposed`` attribute: a variant
+evaluated on the TRANSPOSED padded layout ``xT (D_pad, N)`` (components
+on sublanes, time on lanes) used by the small-D fused action+grad Pallas
+kernel (kernels/ag_pallas.py) — at D << 128 the row-major layout wastes
+the vector lanes, the transposed one fills them. Contract: rows >= D of
+``xT`` are padding; the variant must produce D valid output rows (pad
+rows may hold garbage — the kernel masks them) and must not mix pad rows
+into valid ones (periodic shifts are D-periodic one-hot matmuls at
+HIGHEST precision, never jnp.roll over D_pad).
 """
 
+import numpy as np
+
 import jax.numpy as jnp
+from jax import lax
+
+
+def _rollmat(D, D_pad, k, dtype):
+    """(D_pad, D_pad) one-hot matrix: (R @ xT)[i] = xT[(i + k) % D] for
+    i < D, zero rows above — the D-periodic sublane shift as an exact
+    matmul. Built from iota (Pallas kernels cannot capture array
+    constants); the modulus is an int32 ARRAY (a python-int % operand
+    under x64 makes an i64 constant Mosaic cannot lower — measured,
+    kernels/dir_pallas.py)."""
+    from jax import lax as _lax
+    ri = _lax.broadcasted_iota(jnp.int32, (D_pad, D_pad), 0)
+    ci = _lax.broadcasted_iota(jnp.int32, (D_pad, D_pad), 1)
+    tgt = (ri + jnp.asarray(k % D, jnp.int32)) % jnp.asarray(D, jnp.int32)
+    return ((ci == tgt) & (ri < D)).astype(dtype)
 
 
 def _pcol(p, j):
@@ -30,6 +57,25 @@ def lorenz96(t, x, p):
     xm2 = jnp.roll(x, 2, axis=-1)
     xm1 = jnp.roll(x, 1, axis=-1)
     return (xp1 - xm2) * xm1 - x + _pcol(p, 0)
+
+
+def _lorenz96_T(D):
+    """Transposed Lorenz-96 (see module docstring): elementwise over the
+    full (D_pad, N) block — ~D/D_pad lane+sublane utilization vs D/128
+    for the row-major layout at small D."""
+    def fT(t, xT, p):
+        dtype = xT.dtype
+        D_pad = xT.shape[0]
+        mm = lambda A, B: jnp.dot(A, B, preferred_element_type=dtype,
+                                  precision=lax.Precision.HIGHEST)
+        xp1 = mm(_rollmat(D, D_pad, 1, dtype), xT)
+        xm2 = mm(_rollmat(D, D_pad, -2, dtype), xT)
+        xm1 = mm(_rollmat(D, D_pad, -1, dtype), xT)
+        return (xp1 - xm2) * xm1 - xT + _pcol(p, 0)
+    return fT
+
+
+lorenz96.transposed = _lorenz96_T
 
 
 def lorenz63(t, x, p):
