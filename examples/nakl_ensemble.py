@@ -101,6 +101,22 @@ def main():
                          "round-off loses the global basin on this "
                          "problem, measured in PARITY.md)")
     ap.add_argument("--no-polish", action="store_true")
+    ap.add_argument("--seed-params", type=str, default=None,
+                    help="warm-start the ensemble's PARAMETER draws from "
+                         "a prior campaign's phase-1 save (.npz with "
+                         "xp/A): top --seed-top members by final action, "
+                         "tiled over --ninit with --seed-jitter "
+                         "(fraction of each box width) Gaussian jitter "
+                         "in estimation scale. States are still built "
+                         "from the CURRENT record (data V + "
+                         "member-kinetics gates), so a short-record "
+                         "screen can seed a long-record refinement")
+    ap.add_argument("--seed-top", type=int, default=16)
+    ap.add_argument("--seed-jitter", type=float, default=0.03)
+    ap.add_argument("--record-n", type=int, default=None,
+                    help="observation record length N (default 3001; "
+                         "longer records sample more spikes — the "
+                         "literature's lever for kinetic timescales)")
     ap.add_argument("--all-params", action="store_true")
     ap.add_argument("--fix-cm", action="store_true",
                     help="with --all-params: hold Cm at truth (the usual "
@@ -240,6 +256,8 @@ def main():
         args.log_g = bool(saved["log_g"]) if "log_g" in saved else False
     else:
         N = 751 if args.small else 3001
+        if args.record_n is not None:
+            N = int(args.record_n)
         n_beta = 41 if args.small else 61
         if args.nbeta is not None:
             n_beta = int(args.nbeta)
@@ -366,9 +384,33 @@ def main():
                 [a_inf(NAKL_P_TRUE[7], NAKL_P_TRUE[8]),    # m
                  a_inf(NAKL_P_TRUE[11], NAKL_P_TRUE[12]),  # h
                  a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])])  # n
+        # optional warm parameter seeding from a prior (shorter-record)
+        # campaign: top members by final action, tiled over the ensemble
+        # with multiplicative-scale jitter — the two-stage pipeline
+        # (short-record screening -> long-record refinement) the
+        # annealing literature uses for stiff kinetics
+        seed_pool = None
+        if args.seed_params:
+            sd = np.load(args.seed_params)
+            s_xp, s_A = sd["xp"], sd["A"]
+            n_par_s = len(Pidx)
+            order_s = np.argsort(s_A[:, -1])
+            top = max(1, args.seed_top)
+            seed_pool = s_xp[order_s[:top], -n_par_s:]
+            print(f"seeding parameter draws from {args.seed_params}: "
+                  f"top {top} members (of {s_xp.shape[0]})")
         xp0s = []
-        for _ in range(B):
-            pe = [rng.uniform(*b) for b in pbounds]
+        for bi in range(B):
+            if seed_pool is not None:
+                base_pe = seed_pool[bi % seed_pool.shape[0]]
+                # jitter in the ESTIMATION scale (log params move
+                # multiplicatively), clipped back into the box
+                pe = [float(np.clip(v + rng.normal(0.0, args.seed_jitter
+                                                   * (b[1] - b[0])),
+                                    b[0], b[1]))
+                      for v, b in zip(base_pe, pbounds)]
+            else:
+                pe = [rng.uniform(*b) for b in pbounds]
             pfull = np.asarray(NAKL_P_TRUE, dtype=np.float64).copy()
             pfull[Pidx] = pe
             blocks = []
