@@ -117,6 +117,16 @@ def main():
                     help="observation record length N (default 3001; "
                          "longer records sample more spikes — the "
                          "literature's lever for kinetic timescales)")
+    ap.add_argument("--param-prior", type=float, default=0.0,
+                    help="with --seed-params: add a weak quadratic MAP "
+                         "prior (this weight) on the estimated "
+                         "parameters, centered on the screen's best "
+                         "member, width --prior-w box-widths in "
+                         "estimation scale (log params => log-normal). "
+                         "Counters the measured edge-drift of "
+                         "under-priced parameters; report MAP and "
+                         "prior-free estimates together")
+    ap.add_argument("--prior-w", type=float, default=0.25)
     ap.add_argument("--all-params", action="store_true")
     ap.add_argument("--fix-cm", action="store_true",
                     help="with --all-params: hold Cm at truth (the usual "
@@ -340,6 +350,38 @@ def main():
                                                  build_multi_bounds)
             action, parts = make_multi_action(specs)
             lo, hi = build_multi_bounds(specs, bounds, dtype)
+        if args.param_prior and args.seed_params:
+            # weak log-normal MAP prior centered on the screen's best
+            # estimate: holds UNDER-PRICED parameters in place during
+            # the ascent (the measured failure mode: they drift to box
+            # edges before the data prices them — PARITY.md), and is
+            # annealed AWAY relatively as rf climbs. Width = prior_w of
+            # each box width in estimation scale.
+            sd = np.load(args.seed_params)
+            ord_s = np.argsort(sd["A"][:, -1])
+            p0 = np.asarray(sd["xp"][ord_s[0], -len(Pidx):], np.float64)
+            wdt = np.asarray([b[1] - b[0] for b in pbounds], np.float64)
+            lam = dtype(args.param_prior)
+            p0_d = jnp.asarray(p0, dtype)
+            iw2 = jnp.asarray(1.0 / (args.prior_w * wdt) ** 2, dtype)
+            npar = len(Pidx)
+
+            base_action, base_parts = action, parts
+
+            def action_p(xp, rf):
+                dp_ = xp[-npar:] - p0_d
+                return (base_action(xp, rf)
+                        + lam * jnp.sum(iw2 * dp_ * dp_))
+
+            def parts_p(xp, rf):
+                a, me, fe = base_parts(xp, rf)
+                dp_ = xp[-npar:] - p0_d
+                pen = lam * jnp.sum(iw2 * dp_ * dp_)
+                return a + pen, me, fe
+
+            action, parts = action_p, parts_p
+            print(f"MAP prior: lambda={args.param_prior}, "
+                  f"width={args.prior_w} box-widths, center=screen best")
         return specs[0], action, parts, lo, hi
 
     p1_dtype = np.float64 if args.f64 else np.float32
