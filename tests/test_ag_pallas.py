@@ -39,7 +39,8 @@ def _z0(spec, tw, rng, B=None):
     unobserved near the attractor scale, parameters near truth."""
     def one():
         X = rng.normal(2.0, 2.0, (spec.N_f, spec.D))
-        X[:, np.asarray(spec.Lidx)] = tw["Y"] + rng.normal(
+        rows = np.arange(spec.N_data) * spec.obs_stride
+        X[np.ix_(rows, np.asarray(spec.Lidx))] = tw["Y"] + rng.normal(
             0, 0.3, tw["Y"].shape)
         return np.asarray(pack(spec, X, np.array([4.0 + rng.normal()])),
                           np.float32)
@@ -142,18 +143,37 @@ def test_transposed_matches_xla(disc):
 
 def test_supported_predicate_negatives():
     tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
-    sh = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
-                    disc="SimpsonHermite", P=np.array([4.0]), pidx=[0])
-    assert not ag_supported(sh, jnp.float32(1.0))        # two-step disc
     tr = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"], tw["RM"],
                     disc="trapezoid", P=np.array([4.0]), pidx=[0])
     assert not ag_supported(tr, jnp.float32(1.0), dtype=np.float64)
     rf3 = jnp.ones((tr.N_f - 1, 20, 20), jnp.float32)    # matrix R
     assert not ag_supported(tr, rf3)
-    fine = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"],
+
+
+@pytest.mark.parametrize("rf_kind", ["scalar", "diag"])
+def test_matches_xla_simpson_hermite(rf_kind):
+    """The SH branch: one model evaluation over all grid rows + exact
+    shift matmuls must reproduce the XLA interleaved-rf SH action."""
+    rng = np.random.default_rng(8)
+    spec, tw = _l96_spec("SimpsonHermite", N=61)
+    rf = (jnp.float32(1.7) if rf_kind == "scalar"
+          else jnp.asarray(rng.uniform(0.5, 2.0, (spec.N_f - 1, 20)),
+                           jnp.float32))
+    assert ag_supported(spec, rf)
+    _check(spec, rf, _z0(spec, tw, rng))
+    _check(spec, rf, _z0(spec, tw, rng, B=2))
+
+
+def test_matches_xla_strided_observations():
+    """dt_model finer than the data grid: obs_stride > 1 rides the
+    host-side weight embedding."""
+    rng = np.random.default_rng(9)
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+    spec = build_spec(lorenz96, 20, tw["Y"], tw["t"], tw["Lidx"],
                       tw["RM"], disc="trapezoid", P=np.array([4.0]),
-                      pidx=[0], dt_model=tw["dt"] / 2)   # obs_stride 2
-    assert not ag_supported(fine, jnp.float32(1.0))
+                      pidx=[0], dt_model=tw["dt"] / 2)
+    assert spec.obs_stride == 2 and ag_supported(spec, jnp.float32(1.0))
+    _check(spec, jnp.float32(1.0), _z0(spec, tw, rng))
 
 
 def test_vmapped_ensemble_ladder():

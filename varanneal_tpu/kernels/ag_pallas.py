@@ -75,12 +75,13 @@ def _pad_to(v, mult):
 
 def ag_supported(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
     """Static predicate: the whole-problem fused action+grad kernel
-    applies to this problem."""
+    applies to this problem (all four discretizations; observations may
+    sit at any uniform grid stride — they are embedded host-side)."""
     rf_nd = np.ndim(rf)
     RM_nd = np.ndim(spec.RM)
-    return (spec.disc in ("euler", "trapezoid", "forwardmap")
+    return (spec.disc in ("euler", "trapezoid", "forwardmap",
+                          "SimpsonHermite")
             and not spec.time_dep_p
-            and spec.obs_stride == 1
             and np.dtype(dtype) == np.float32
             and rf_nd in (0, 2)
             and RM_nd in (0, 2)
@@ -97,23 +98,40 @@ def _mm(x, y):
                    precision=lax.Precision.HIGHEST)
 
 
-def _ag_kernel(spec, has_stim, rf_diag, *refs):
+def _ag_kernel(spec, has_stim, rf_mode, *refs):
     """One member. Inputs:
       X_ref  (1, N_pad, D_pad)  state rows (rows >= N_f zero),
       p_ref  (1, 1, NP_pad)     full merged parameter row,
-      rf_ref (1, 1, 1) SMEM scalar | (1, N_pad, D_pad) VMEM diag,
+      rf refs by ``rf_mode``: 'scalar' -> (1, 1, 1) SMEM; 'diag' ->
+          (1, N_pad, D_pad); 'diag_sh' -> TWO (1, N_pad, D_pad) refs
+          (Simpson weights at even rows, Hermite weights at even rows),
       y_ref  (1, N_pad, D_pad)  embedded observation targets,
-      w_ref  (1, N_pad, D_pad)  embedded RM weights (zero = unobserved),
-      s0_ref/s1_ref (1, N_pad, S_pad)  stimulus rows n and n+1 (opt.)
+      w_ref  (1, N_pad, D_pad)  embedded RM weights (zero = unobserved;
+          rows carry the observation stride, so any uniform stride
+          works),
+      stimulus refs (1, N_pad, S_pad): rows n, n+1 (one-step) and
+          additionally n+2 (SimpsonHermite).
     Outputs:
       a_ref  (1, 1, 1) SMEM action value,
       gx_ref (1, N_pad, D_pad)  dA/dX,
-      gp_ref (1, 1, NP_pad)     dA/dp (full row; caller slices pidx)."""
-    if has_stim:
-        (X_ref, p_ref, rf_ref, y_ref, w_ref, s0_ref, s1_ref,
-         a_ref, gx_ref, gp_ref) = refs
-    else:
-        X_ref, p_ref, rf_ref, y_ref, w_ref, a_ref, gx_ref, gp_ref = refs
+      gp_ref (1, 1, NP_pad)     dA/dp (full row; caller slices pidx).
+
+    For SimpsonHermite the model is evaluated ONCE over all grid rows
+    (the blocked FE kernel evaluates it three times per interval); the
+    shifted values f_{n+1}, f_{n+2} are exact shift matmuls of that one
+    evaluation."""
+    sh = spec.disc == "SimpsonHermite"
+    n_rf = 2 if rf_mode == "diag_sh" else 1
+    n_st = (3 if sh else 2) if has_stim else 0
+    refs = list(refs)
+    X_ref = refs.pop(0)
+    p_ref = refs.pop(0)
+    rf_refs = [refs.pop(0) for _ in range(n_rf)]
+    y_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    st_refs = [refs.pop(0) for _ in range(n_st)]
+    a_ref, gx_ref, gp_ref = refs
+
     X = X_ref[0]                                   # (N_pad, D_pad)
     dtype = X.dtype
     N_pad, D_pad = X.shape
@@ -128,18 +146,19 @@ def _ag_kernel(spec, has_stim, rf_diag, *refs):
     t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
     gdt = jnp.asarray(_grid_dt(spec), dtype)
     # tpu.iota is integer-only (measured): int32 iota then cast
-    t = (t0 + gdt * lax.broadcasted_iota(
-        jnp.int32, (N_pad, 1), 0).astype(dtype))[:, 0]
-    rmask = (lax.broadcasted_iota(jnp.int32, (N_pad, D_pad), 0)
-             < N_f - 1).astype(dtype)              # valid residual rows
+    rows_i = lax.broadcasted_iota(jnp.int32, (N_pad, 1), 0)
+    t = (t0 + gdt * rows_i.astype(dtype))[:, 0]
+    rows2 = lax.broadcasted_iota(jnp.int32, (N_pad, D_pad), 0)
+    if sh:
+        # Simpson/Hermite residual rows: EVEN rows n <= N_f - 3
+        rmask = ((rows2 < N_f - 2)
+                 & (rows2 % jnp.asarray(2, jnp.int32) == 0)).astype(dtype)
+    else:
+        rmask = (rows2 < N_f - 1).astype(dtype)
     Y_emb = y_ref[0]
     W_emb = w_ref[0]
-    if has_stim:
-        s_n = s0_ref[0][:, : spec.stim_f.shape[1]]
-        s_np1 = s1_ref[0][:, : spec.stim_f.shape[1]]
-    else:
-        s_n = s_np1 = None
-    rf_w = rf_ref[0] if rf_diag else rf_ref[0, 0, 0]
+    S_w = spec.stim_f.shape[1] if has_stim else 0
+    svals = [r[0][:, :S_w] for r in st_refs]
 
     me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
     fe_norm = jnp.asarray(1.0 / (spec.D * (spec.N_f - 1)), dtype)
@@ -149,22 +168,48 @@ def _ag_kernel(spec, has_stim, rf_diag, *refs):
             return spec.f(tt, xx, pp)
         return spec.f(tt, xx, (pp, ss))
 
+    def _dpad(r):
+        if D_pad > D:
+            return jnp.concatenate(
+                [r, jnp.zeros((N_pad, D_pad - D), dtype)], axis=1)
+        return r
+
     def fwd(Xv, p2):
         p = p2[0, : spec.NP]
         x = Xv[:, :D]
         x1 = _mm(S, Xv)[:, :D]
-        f_n = call_f(t, x, p, s_n)
-        if spec.disc == "trapezoid":
-            f_np1 = call_f(t + h, x1, p, s_np1)
-            r = x1 - x - (h / 2.0) * (f_n + f_np1)
-        elif spec.disc == "euler":
-            r = x1 - x - h * f_n
-        else:                                      # forwardmap
-            r = x1 - f_n
-        if D_pad > D:
-            r = jnp.concatenate(
-                [r, jnp.zeros((N_pad, D_pad - D), dtype)], axis=1)
-        fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
+        if sh:
+            # h is the FULL interval over [n, n+2]; grid spacing h/2
+            x2 = _mm(S, _mm(S, Xv))[:, :D]
+            f0 = call_f(t, x, p, svals[0] if has_stim else None)
+            f0p = _dpad(f0)
+            f1 = _mm(S, f0p)[:, :D]
+            f2 = _mm(S, _mm(S, f0p))[:, :D]
+            r_s = x2 - x - (h / 6.0) * (f0 + 4.0 * f1 + f2)
+            r_h = x1 - 0.5 * (x + x2) - (h / 8.0) * (f0 - f2)
+            r_s, r_h = _dpad(r_s), _dpad(r_h)
+            if rf_mode == "diag_sh":
+                fe = (jnp.sum(rf_refs[0][0] * rmask * r_s * r_s)
+                      + jnp.sum(rf_refs[1][0] * rmask * r_h * r_h))
+            else:
+                fe = rf_refs[0][0, 0, 0] * (
+                    jnp.sum(rmask * r_s * r_s)
+                    + jnp.sum(rmask * r_h * r_h))
+            fe = fe_norm * fe
+        else:
+            f_n = call_f(t, x, p, svals[0] if has_stim else None)
+            if spec.disc == "trapezoid":
+                f_np1 = call_f(t + h, x1, p,
+                               svals[1] if has_stim else None)
+                r = x1 - x - (h / 2.0) * (f_n + f_np1)
+            elif spec.disc == "euler":
+                r = x1 - x - h * f_n
+            else:                                  # forwardmap
+                r = x1 - f_n
+            r = _dpad(r)
+            rf_w = (rf_refs[0][0] if rf_mode == "diag"
+                    else rf_refs[0][0, 0, 0])
+            fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
         dobs = Xv - Y_emb
         me = me_norm * jnp.sum(W_emb * dobs * dobs)
         return me + fe
@@ -176,53 +221,52 @@ def _ag_kernel(spec, has_stim, rf_diag, *refs):
     gp_ref[0] = gp2
 
 
-def _ag_batched(spec, has_stim, rf_diag, rf_shared, X, p2, rf_in, yv, wv,
-                st0, st1):
-    """X (B, N_pad, D_pad), p2 (B, 1, NP_pad); rf_in (B, 1, 1) SMEM
-    scalar | (B|1, N_pad, D_pad) diag (leading 1 = shared across
-    members); yv/wv/st* shared (1, ...) constants. Small per-member
+def _ag_batched(spec, has_stim, rf_mode, rf_shared, X, p2, rf_args,
+                yv, wv, sts):
+    """X (B, N_pad, D_pad), p2 (B, 1, NP_pad); ``rf_args``: [rf] with
+    rf (B, 1, 1) for 'scalar' | (B|1, N_pad, D_pad) for 'diag'
+    (leading 1 = shared across members) | [rf_s, rf_h] both
+    (B|1, N_pad, D_pad) for 'diag_sh' (Simpson/Hermite weight
+    embeddings); yv/wv/sts shared (1, ...) constants. Small per-member
     arrays are 3-D (B, 1, k) — Mosaic requires the LAST TWO block dims
     tile-divisible or equal to the array dims (measured at B > 1)."""
     B, N_pad, D_pad = X.shape
     NP_pad = p2.shape[-1]
-    kern = functools.partial(_ag_kernel, spec, has_stim, rf_diag)
+    kern = functools.partial(_ag_kernel, spec, has_stim, rf_mode)
     vmem = pltpu.VMEM
-    in_specs = [
-        pl.BlockSpec((1, N_pad, D_pad), lambda b: (b, b * 0, b * 0),
-                     memory_space=vmem),
-        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
-                     memory_space=vmem),
-    ]
-    if rf_diag:
-        if rf_shared:
-            in_specs.append(pl.BlockSpec((1, N_pad, D_pad),
-                                         lambda b: (b * 0, b * 0, b * 0),
-                                         memory_space=vmem))
-        else:
-            in_specs.append(pl.BlockSpec((1, N_pad, D_pad),
-                                         lambda b: (b, b * 0, b * 0),
-                                         memory_space=vmem))
-    else:
+
+    def per_member(shp):
+        return pl.BlockSpec(shp,
+                            lambda b: (b,) + (b * 0,) * (len(shp) - 1),
+                            memory_space=vmem)
+
+    shared3 = pl.BlockSpec((1, N_pad, D_pad),
+                           lambda b: (b * 0, b * 0, b * 0),
+                           memory_space=vmem)
+    in_specs = [per_member((1, N_pad, D_pad)),
+                per_member((1, 1, NP_pad))]
+    if rf_mode == "scalar":
         in_specs.append(pl.BlockSpec((1, 1, 1),
                                      lambda b: (b, b * 0, b * 0),
                                      memory_space=pltpu.SMEM))
-    shared = pl.BlockSpec((1, N_pad, D_pad), lambda b: (b * 0, b * 0, b * 0),
-                          memory_space=vmem)
-    in_specs += [shared, shared]
-    args = [X, p2, rf_in, yv, wv]
+    else:
+        for _ in rf_args:
+            in_specs.append(shared3 if rf_shared
+                            else per_member((1, N_pad, D_pad)))
+    in_specs += [shared3, shared3]
+    args = [X, p2] + list(rf_args) + [yv, wv]
     if has_stim:
-        S_pad = st0.shape[-1]
-        sshared = pl.BlockSpec((1, N_pad, S_pad), lambda b: (b * 0, b * 0, b * 0),
+        S_pad = sts[0].shape[-1]
+        sshared = pl.BlockSpec((1, N_pad, S_pad),
+                               lambda b: (b * 0, b * 0, b * 0),
                                memory_space=vmem)
-        in_specs += [sshared, sshared]
-        args += [st0, st1]
+        in_specs += [sshared] * len(sts)
+        args += list(sts)
     out_specs = [
         pl.BlockSpec((1, 1, 1), lambda b: (b, b * 0, b * 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, N_pad, D_pad), lambda b: (b, b * 0, b * 0),
-                     memory_space=vmem),
-        pl.BlockSpec((1, 1, NP_pad), lambda b: (b, b * 0, b * 0),
-                     memory_space=vmem),
+        per_member((1, N_pad, D_pad)),
+        per_member((1, 1, NP_pad)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, 1, 1), X.dtype),
@@ -240,20 +284,24 @@ def make_action_ag(spec: ProblemSpec):
     launch, so ``jax.value_and_grad(action)`` costs a single kernel.
     ``action_parts`` stays on the XLA path (used once per rung for
     records, not in the hot loop). Same contract as
-    ``ops.action.make_action``; only valid where :func:`ag_supported`."""
+    ``ops.action.make_action``; only valid where :func:`ag_supported`.
+    Covers all four discretizations and any uniform observation stride
+    (the stride is baked into the host-side weight embedding)."""
     N_f, D, NP = spec.N_f, spec.D, spec.NP
     N_pad = _pad_to(N_f, 8)
     D_pad = _pad_to(D, 128)
     NP_pad = _pad_to(max(NP, 1), 128)
+    sh = spec.disc == "SimpsonHermite"
 
     # --- host-side constants ------------------------------------------
     RM = np.asarray(spec.RM, dtype=np.float32)
     Lidx = np.asarray(spec.Lidx, dtype=np.int32)
     Y = np.asarray(spec.Y, dtype=np.float32)
+    obs_rows = np.arange(spec.N_data) * spec.obs_stride
     Y_emb = np.zeros((N_pad, D_pad), np.float32)
     W_emb = np.zeros((N_pad, D_pad), np.float32)
-    Y_emb[: spec.N_data, Lidx] = Y
-    W_emb[: spec.N_data, Lidx] = RM
+    Y_emb[np.ix_(obs_rows, Lidx)] = Y
+    W_emb[np.ix_(obs_rows, Lidx)] = RM
     yv = jnp.asarray(Y_emb)[None]
     wv = jnp.asarray(W_emb)[None]
 
@@ -261,15 +309,20 @@ def make_action_ag(spec: ProblemSpec):
     if has_stim:
         stim = np.asarray(spec.stim_f, np.float32)
         S_pad = _pad_to(stim.shape[1], 128)
-        s0 = np.zeros((N_pad, S_pad), np.float32)
-        s1 = np.zeros((N_pad, S_pad), np.float32)
-        s0[:N_f, : stim.shape[1]] = stim
-        s1[: N_f - 1, : stim.shape[1]] = stim[1:]
-        st0, st1 = jnp.asarray(s0)[None], jnp.asarray(s1)[None]
+        sts = []
+        for k in range(3 if sh else 2):
+            sk = np.zeros((N_pad, S_pad), np.float32)
+            sk[: N_f - k, : stim.shape[1]] = stim[k:]
+            sts.append(jnp.asarray(sk)[None])
+        sts = tuple(sts)
     else:
-        st0 = st1 = None
+        sts = ()
+
+    M_sh = (N_f - 1) // 2
+    even_rows = np.arange(M_sh) * 2
 
     def _prep(XP, rf):
+        """-> (Xp, p2, rf_args tuple, rf_mode)."""
         X = XP[: spec.n_state].reshape(N_f, D)
         pest = XP[spec.n_state:]
         P = _action.merge_params(spec, pest, XP.dtype)
@@ -278,66 +331,75 @@ def make_action_ag(spec: ProblemSpec):
         if NP:
             p2 = p2.at[0, :NP].set(P)
         rf = jnp.asarray(rf, XP.dtype)
+        if rf.ndim == 2 and sh:
+            # interleaved SH convention: even rf rows weight the Simpson
+            # residuals, odd rows the Hermite ones (ops/action.py) —
+            # both embedded at their interval's EVEN grid row
+            z = jnp.zeros((N_pad, D_pad), XP.dtype)
+            rf_s = z.at[even_rows, :D].set(rf[even_rows])
+            rf_h = z.at[even_rows, :D].set(rf[even_rows + 1])
+            return Xp, p2, (rf_s, rf_h), "diag_sh"
         if rf.ndim == 2:
             rfp = jnp.zeros((N_pad, D_pad), XP.dtype).at[
                 : N_f - 1, :D].set(rf[: N_f - 1])
-            return Xp, p2, rfp, True
-        return Xp, p2, rf.reshape(1, 1), False
+            return Xp, p2, (rfp,), "diag"
+        return Xp, p2, (rf.reshape(1, 1),), "scalar"
 
     _cache = {}
 
-    def _get_ag_fn(rf_is_diag):
-        """custom_vmap'd (Xp, p2, rf_in, consts...) -> (a, gX, gp2); per
-        rf-kind (static). The observation/stimulus constants are
+    def _get_ag_fn(rf_mode):
+        """custom_vmap'd (Xp, p2, *rf_args, *consts) -> (a, gX, gp2);
+        per rf-mode (static). The observation/stimulus constants are
         EXPLICIT ARGUMENTS, not closure consts: a vmapped lax.while_loop
         (the L-BFGS inner loop) instantiates closure constants as
         batched-broadcast, and custom_vmap rejects batched jaxpr consts
         (the measured limitation — same pattern as the fe_pallas SH
-        wrapper; consts arriving batched are sliced back to [0:1] in
-        the rule)."""
-        if rf_is_diag in _cache:
-            return _cache[rf_is_diag]
+        wrapper; consts arriving batched are sliced back to their
+        shared row in the rule)."""
+        if rf_mode in _cache:
+            return _cache[rf_mode]
+        n_rf = 2 if rf_mode == "diag_sh" else 1
 
         @jax.custom_batching.custom_vmap
-        def ag_fn(Xp, p2, rf_in, *consts):
-            cy, cw = consts[0], consts[1]
-            c0, c1 = (consts[2], consts[3]) if has_stim else (None, None)
-            a, gX, gp2 = _ag_batched(spec, has_stim, rf_is_diag, False,
-                                     Xp[None], p2[None], rf_in[None],
-                                     cy, cw, c0, c1)
+        def ag_fn(Xp, p2, *rest):
+            rf_args = [r[None] for r in rest[:n_rf]]
+            cy, cw = rest[n_rf], rest[n_rf + 1]
+            a, gX, gp2 = _ag_batched(spec, has_stim, rf_mode, False,
+                                     Xp[None], p2[None], rf_args,
+                                     cy, cw, rest[n_rf + 2:])
             return a[0, 0, 0], gX[0], gp2[0]
 
         @ag_fn.def_vmap
-        def _ag_vmap(axis_size, in_batched, Xp, p2, rf_in, *consts):
+        def _ag_vmap(axis_size, in_batched, Xp, p2, *rest):
             B = axis_size
 
             def bc(v, isb):
                 return v if isb else jnp.broadcast_to(
                     v[None], (B,) + v.shape)
 
+            rf_in = rest[:n_rf]
+            rf_b = in_batched[2: 2 + n_rf]
             # broadcast-batched constants fold back to their shared row
             # (they already carry a leading shared-block axis of 1)
             consts = [c[0] if isb else c
-                      for c, isb in zip(consts, in_batched[3:])]
+                      for c, isb in zip(rest[n_rf:],
+                                        in_batched[2 + n_rf:])]
             cy, cw = consts[0], consts[1]
-            c0, c1 = (consts[2], consts[3]) if has_stim else (None, None)
             Xp = bc(Xp, in_batched[0])
             p2 = bc(p2, in_batched[1])
-            rf_shared = rf_is_diag and not in_batched[2]
+            rf_shared = rf_mode != "scalar" and not any(rf_b)
             if rf_shared:
-                rf_in = rf_in[None]          # (1, N_pad, D_pad) block 0
+                rf_args = [r[None] for r in rf_in]
             else:
-                rf_in = bc(rf_in, in_batched[2])
-            a, gX, gp2 = _ag_batched(spec, has_stim, rf_is_diag,
-                                     rf_shared, Xp, p2, rf_in, cy, cw,
-                                     c0, c1)
+                rf_args = [bc(r, isb) for r, isb in zip(rf_in, rf_b)]
+            a, gX, gp2 = _ag_batched(spec, has_stim, rf_mode, rf_shared,
+                                     Xp, p2, rf_args, cy, cw, consts[2:])
             return (a[:, 0, 0], gX, gp2), (True, True, True)
 
-        def call(Xp, p2, rf_in):
-            consts = (yv, wv, st0, st1) if has_stim else (yv, wv)
-            return ag_fn(Xp, p2, rf_in, *consts)
+        def call(Xp, p2, rf_args):
+            return ag_fn(Xp, p2, *rf_args, yv, wv, *sts)
 
-        _cache[rf_is_diag] = call
+        _cache[rf_mode] = call
         return call
 
     def _unpack_grad(gX, gp2):
@@ -349,13 +411,13 @@ def make_action_ag(spec: ProblemSpec):
 
     @jax.custom_vjp
     def action(XP, rf):
-        Xp, p2, rf_in, is_diag = _prep(XP, rf)
-        a, _, _ = _get_ag_fn(is_diag)(Xp, p2, rf_in)
+        Xp, p2, rf_args, mode = _prep(XP, rf)
+        a, _, _ = _get_ag_fn(mode)(Xp, p2, rf_args)
         return a
 
     def action_fwd(XP, rf):
-        Xp, p2, rf_in, is_diag = _prep(XP, rf)
-        a, gX, gp2 = _get_ag_fn(is_diag)(Xp, p2, rf_in)
+        Xp, p2, rf_args, mode = _prep(XP, rf)
+        a, gX, gp2 = _get_ag_fn(mode)(Xp, p2, rf_args)
         return a, (_unpack_grad(gX, gp2), rf)
 
     def action_bwd(res, ct):

@@ -914,11 +914,13 @@ def ag_preferred(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
     kernel (kernels/ag_pallas.py) under ``engine='auto'``.
 
     Measured on the chip (PARITY.md fused-iteration section): at the
-    D=400 batched config the ag kernel is 5.7x XLA and 2.3x the blocked
-    FE kernel (7.9 vs 17.9 vs 45.1 us/member-eval at B=64), so it OWNS
-    the D >= 256 one-step regime; at D=20/B=1 it is a wash in isolation
-    and a net loss end-to-end (pack/unpack glue + 16% lane utilization),
-    so small D stays on XLA."""
+    D=400 one-step batched config the ag kernel is 5.7x XLA and 2.3x
+    the blocked FE kernel (7.9 vs 17.9 vs 45.1 us/member-eval at B=64),
+    so it OWNS the D >= 256 one-step regime. At D=20/B=1 it is a wash
+    in isolation and a net loss end-to-end (pack/unpack glue + 16% lane
+    utilization); at D=20/B=256 XLA's full-tile batched fusion wins 7x;
+    SimpsonHermite measures 0.56x at D=100/B=64 and exactly 1.0x at
+    D=400/B=64 — so small D and SH stay on XLA."""
     from varanneal_tpu.kernels.ag_pallas import ag_supported
     try:
         platform = jax.devices()[0].platform
@@ -926,6 +928,7 @@ def ag_preferred(spec: ProblemSpec, rf, dtype=np.float32) -> bool:
         return False
     return (platform != "cpu"
             and np.dtype(dtype) == np.float32
+            and spec.disc in ("euler", "trapezoid", "forwardmap")
             and spec.D >= _AUTO_MIN_D
             and ag_supported(spec, rf, dtype))
 
