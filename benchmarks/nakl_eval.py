@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--top", type=int, default=8)
     ap.add_argument("--use-snapshot", action="store_true",
                     help="evaluate xp_snap/snap0 instead of the final xp")
+    ap.add_argument("--log-tau", action="store_true",
+                    help="override when the save carries no meta")
+    ap.add_argument("--log-g", action="store_true")
     args = ap.parse_args()
 
     from varanneal_tpu.models import NAKL_P_TRUE, NAKL_PNAMES
@@ -51,8 +54,8 @@ def main():
     K = args.protocols or int(meta("protocols", 1))
     N = args.n or int(meta("N", 3001))
     fix_cm = bool(meta("fix_cm", True))
-    log_tau = bool(meta("log_tau", False))
-    log_g = bool(meta("log_g", False))
+    log_tau = bool(meta("log_tau", False)) or args.log_tau
+    log_g = bool(meta("log_g", False)) or args.log_g
     Pidx = list(range(1, 19)) if fix_cm else list(range(19))
     LOG_IDX = (TAU_ALL if log_tau else ()) + (G_ALL if log_g else ())
     log_loc = [j for j, pi in enumerate(Pidx) if pi in LOG_IDX]
@@ -66,8 +69,10 @@ def main():
         xp = d["XP"]
         if xp.ndim == 1:
             xp = xp[None]
-    else:
+    elif "leaf0" in keys:
         xp = d["leaf0"]
+    else:
+        xp = d["xp0"]          # in-flight ladder checkpoint state
     A = d["A"] if "A" in keys else None
     if A is not None and A.ndim == 1:
         A = A[None]

@@ -113,6 +113,15 @@ def main():
                          "screen can seed a long-record refinement")
     ap.add_argument("--seed-top", type=int, default=16)
     ap.add_argument("--seed-jitter", type=float, default=0.03)
+    ap.add_argument("--seed-truth", action="store_true",
+                    help="ORACLE-BASIN PROBE: seed every member's "
+                         "parameter draw at the twin truth "
+                         "(+ --seed-jitter). Not an estimation mode — "
+                         "a diagnostic that asks whether the true basin "
+                         "wins on action at the top of the ladder when "
+                         "actually visited (separates unlucky ensemble "
+                         "coverage from an objective that genuinely "
+                         "prefers compensated basins)")
     ap.add_argument("--record-n", type=int, default=None,
                     help="observation record length N (default 3001; "
                          "longer records sample more spikes — the "
@@ -359,7 +368,12 @@ def main():
             # each box width in estimation scale.
             sd = np.load(args.seed_params)
             ord_s = np.argsort(sd["A"][:, -1])
-            p0 = np.asarray(sd["xp"][ord_s[0], -len(Pidx):], np.float64)
+            # center on the TOP POOL's per-parameter MEDIAN: a robust
+            # consensus — a single best-by-action member is typically a
+            # V-compensated basin (measured, PARITY.md), and the median
+            # across basins cancels their anti-correlated compensations
+            pool = sd["xp"][ord_s[: max(1, args.seed_top)], -len(Pidx):]
+            p0 = np.median(np.asarray(pool, np.float64), axis=0)
             wdt = np.asarray([b[1] - b[0] for b in pbounds], np.float64)
             lam = dtype(args.param_prior)
             p0_d = jnp.asarray(p0, dtype)
@@ -432,7 +446,14 @@ def main():
         # (short-record screening -> long-record refinement) the
         # annealing literature uses for stiff kinetics
         seed_pool = None
-        if args.seed_params:
+        if args.seed_truth:
+            p_truth = np.asarray(NAKL_P_TRUE, np.float64)[Pidx].copy()
+            if log_loc:
+                p_truth[log_loc] = np.log(p_truth[log_loc])
+            seed_pool = p_truth[None]
+            print("ORACLE-BASIN PROBE: parameter draws at truth "
+                  f"(jitter {args.seed_jitter} box-widths)")
+        elif args.seed_params:
             sd = np.load(args.seed_params)
             s_xp, s_A = sd["xp"], sd["A"]
             n_par_s = len(Pidx)
