@@ -1,4 +1,4 @@
-"""Whole-problem fused action+GRADIENT Pallas kernel (one-step discs).
+"""Whole-problem fused action+GRADIENT Pallas kernel (all four discs).
 
 Motivation (PARITY.md roofline): at the canonical bench scale the ladder
 is SERIALIZATION-bound — an L-BFGS iteration is a chain of small XLA
@@ -41,11 +41,17 @@ normalizations) [M, SURVEY.md §3.2], pinned here by parity tests
 against ``ops.action.make_action`` (itself pinned by the NumPy oracle,
 the SciPy golden ladders, and the C++ analytic gradients).
 
-Supported regime (``ag_supported``): one-step discretizations, f32,
-static parameters, contiguous observation window (obs_stride == 1),
-scalar or (N_data, L)-diagonal RM, scalar or (N_f-1, D)-diagonal RF,
-uniform grid, padded state <= 2M floats. Everything else falls back to
-the XLA action.
+Supported regime (``ag_supported``): all four discretizations
+(SimpsonHermite evaluates the model ONCE over every grid row and
+recovers the shifted values with exact shift matmuls), f32, static
+parameters, any uniform observation stride (baked into the host-side
+weight embedding), scalar or (N_data, L)-diagonal RM, scalar or
+(N_f-1, D)-diagonal RF (SH: interleaved Simpson/Hermite rows embedded
+as two weight planes), uniform grid, padded state <= 2M floats.
+Everything else falls back to the XLA action. The measured-win AUTO
+regime is narrower: one-step discs at D >= 256 (see
+fe_pallas.ag_preferred; SH measured 0.56x at D=100/B=64 and 1.0x at
+D=400/B=64 — XLA's batched fusion of the strided slices holds it).
 """
 
 import functools
