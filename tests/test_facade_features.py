@@ -140,3 +140,33 @@ def test_facade_R_time_dependent_kwarg():
         ann.anneal(X0, np.array([6.0]), 1.7, np.arange(2), RM, 1e-4,
                    [0, 1, 2], Pidx=[0], opt_args=dict(maxiter=5),
                    R_time_dependent=True)
+
+
+def test_clamped_parameters_basin_probe():
+    """Pidx=[] anneals the STATES with every parameter clamped — the
+    basin-comparison probe behind the round-3 record-sizing rule
+    (PARITY.md "truth-basin action"): candidate parameter sets are
+    ranked by the best action attainable with states free, parameters
+    fixed. Checks the degenerate packing (NPest=0) end-to-end and that
+    the probe ranks truth above a wrong parameter set on clean-ish data.
+    """
+    from varanneal_tpu.twin import lorenz96_twin
+
+    D, N = 6, 41
+    rng = np.random.default_rng(3)
+    tw = lorenz96_twin(D=D, N_data=N, dt=0.025, sigma=0.1, n_obs=4,
+                       seed=5)
+    X0 = rng.uniform(-8, 8, size=(N, D))
+
+    def probe(F):
+        ann = varanneal_tpu.Annealer()
+        ann.set_model(lorenz96, D)
+        ann.set_data(tw["Y"], t=tw["t"])
+        ann.anneal(X0, np.array([F]), alpha=1.9,
+                   beta_array=np.arange(14), RM=tw["RM"], RF0=1e-4,
+                   Lidx=tw["Lidx"], Pidx=[], opt_args=dict(maxiter=300))
+        assert ann.minpaths.shape[-1] == N * D     # no parameter tail
+        return float(np.asarray(ann.A_array)[-1])
+
+    a_truth, a_wrong = probe(tw["F"]), probe(tw["F"] * 2.0)
+    assert np.isfinite(a_truth) and a_truth < a_wrong
