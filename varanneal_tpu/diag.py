@@ -72,6 +72,144 @@ def path_rmse(X_est, X_true, Lidx=None, D=None):
     return out
 
 
+def forward_sensitivity(f, x0, t, P, pidx=None, *, stim=None, obs=(0,),
+                        sub=10, relative=True):
+    """Forward sensitivities of the observed trajectory components with
+    respect to the estimated parameters — the local-identifiability
+    primitive behind the round-3 NaKL study (PARITY.md).
+
+    Integrates the package-contract model ``f(t, x, p)`` from ``x0`` over
+    the uniform grid ``t`` with classic RK4 on a ``sub``-times finer grid
+    (the same integrator class that generates twin data in ``twin.py``),
+    then differentiates the sampled observations with forward-mode AD
+    (``jax.jacfwd`` through ``lax.scan`` — one tangent per estimated
+    parameter, the efficient direction for NPest << N·len(obs)).
+
+    Args:
+      f: model vector field ``f(t, x, p)`` with ``x`` shaped (n, D); when
+        ``stim`` is given, ``p`` is passed as ``(params, stim_rows)``
+        following the driven-model convention (models/nakl.py).
+      x0: (D,) initial state (truth or best estimate).
+      t: (N,) uniform time grid of the observations.
+      P: full parameter vector.
+      pidx: estimated-parameter indices into ``P`` (default: all).
+      stim: optional (N,) or (N, S) stimulus on the observation grid;
+        linearly interpolated onto the fine integration grid.
+      obs: observed state-component indices (``Lidx``).
+      sub: RK4 substeps per observation interval.
+      relative: scale column j by ``P[pidx[j]]`` so sensitivities are per
+        RELATIVE parameter move (the basis the Fisher/CRLB analysis uses);
+        zero-valued parameters keep absolute scaling.
+
+    Returns:
+      S: (N * len(obs), NPest) NumPy array, rows ordered time-major
+      (all observed components of t_0, then t_1, ...).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t = np.asarray(t, np.float64)
+    N = t.shape[0]
+    if N < 2:
+        raise ValueError("need at least 2 observation times")
+    dts = np.diff(t)
+    if not np.allclose(dts, dts[0], rtol=1e-6, atol=0.0):
+        raise ValueError("forward_sensitivity requires a uniform grid")
+    dt = float(dts[0])
+    pidx = list(range(len(np.asarray(P)))) if pidx is None else list(pidx)
+    obs = list(obs)
+    h = dt / sub
+    n_fine = (N - 1) * sub
+    t_fine = t[0] + h * np.arange(n_fine)
+    if stim is not None:
+        stim = np.asarray(stim, np.float64)
+        if stim.ndim == 1:
+            stim = stim[:, None]
+        stim_f = np.stack([np.interp(t_fine, t, stim[:, j])
+                           for j in range(stim.shape[1])], axis=-1)
+        stim_f = jnp.asarray(stim_f)
+    P_full = jnp.asarray(np.asarray(P, np.float64))
+    p_est0 = P_full[jnp.asarray(pidx)]
+    x0 = jnp.asarray(np.asarray(x0, np.float64))
+    t_fine_j = jnp.asarray(t_fine)
+    obs_j = jnp.asarray(obs)
+
+    def sim(p_est):
+        p = P_full.at[jnp.asarray(pidx)].set(p_est)
+
+        def f1(tk, x, sk):
+            pk = p if sk is None else (p, sk[None, :])
+            return f(jnp.asarray([tk]), x[None, :], pk)[0]
+
+        def step(x, inp):
+            tk, sk = inp
+            k1 = f1(tk, x, sk)
+            k2 = f1(tk + h / 2, x + h / 2 * k1, sk)
+            k3 = f1(tk + h / 2, x + h / 2 * k2, sk)
+            k4 = f1(tk + h, x + h * k3, sk)
+            xn = x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+            return xn, xn[obs_j]
+
+        xs = (t_fine_j, stim_f if stim is not None else None)
+        _, ys = jax.lax.scan(step, x0, xs)
+        # observation samples: x0 itself plus every sub-th fine step
+        return jnp.concatenate([x0[obs_j][None, :], ys[sub - 1::sub]],
+                               axis=0).reshape(-1)
+
+    J = jax.jacfwd(sim)(p_est0)                      # (N*len(obs), NPest)
+    S = np.asarray(J, np.float64)
+    if relative:
+        scale = np.asarray(P, np.float64)[pidx]
+        scale = np.where(scale == 0.0, 1.0, scale)
+        S = S * scale[None, :]
+    return S
+
+
+class FisherReport(NamedTuple):
+    F: np.ndarray          # (NP, NP) Fisher information (relative basis)
+    eigvals: np.ndarray    # ascending
+    eigvecs: np.ndarray    # columns match eigvals
+    crlb: np.ndarray       # (NP,) relative 1-sigma Cramér–Rao lower bounds
+    flat: list             # [(eigval, [(coeff, name), ...]), ...] below cut
+
+
+def fisher_report(S, sigma=1.0, names=None, flat_cut=None,
+                  n_components=4) -> FisherReport:
+    """Fisher-information analysis of one or more sensitivity matrices.
+
+    ``S``: a single (M, NP) matrix from :func:`forward_sensitivity`, or a
+    list of them (multi-protocol designs STACK information: F = Σ_k F_k —
+    the quantitative basis for the K-protocol joint estimation in
+    ``ops/multi.py``). ``sigma``: measurement noise (same units as the
+    observations). ``flat_cut``: eigenvalue threshold below which a
+    direction is reported as flat; default M (a 100 % relative move along
+    an eigendirection with λ < M changes the trace by < 1 σ rms — the
+    round-3 criterion). ``names``: parameter labels for the flat-direction
+    composition report.
+    """
+    Ss = S if isinstance(S, (list, tuple)) else [S]
+    NP_ = Ss[0].shape[1]
+    M = sum(s.shape[0] for s in Ss)
+    F = sum(np.asarray(s, np.float64).T @ np.asarray(s, np.float64)
+            for s in Ss) / float(sigma) ** 2
+    w, V = np.linalg.eigh(F)
+    cut = float(M) / float(sigma) ** 2 if flat_cut is None else flat_cut
+    names = ([f"p{j}" for j in range(NP_)] if names is None
+             else list(names))
+    flat = []
+    for i in range(len(w)):
+        if w[i] >= cut:
+            continue
+        v = V[:, i]
+        top = np.argsort(-np.abs(v))[:n_components]
+        flat.append((float(w[i]), [(float(v[j]), names[j]) for j in top]))
+    # pseudo-inverse: a singular F (true flat directions) yields the CRLB
+    # restricted to the identifiable subspace instead of raising
+    Finv = np.linalg.pinv(F, hermitian=True)
+    crlb = np.sqrt(np.maximum(np.diag(Finv), 0.0))
+    return FisherReport(F=F, eigvals=w, eigvecs=V, crlb=crlb, flat=flat)
+
+
 def plot_action_levels(A, beta_array=None, ax=None, fname: Optional[str]
                        = None, log: bool = True):
     """Render the classic action-vs-β ensemble figure. ``A``: (B, Nβ) or
