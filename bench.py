@@ -88,7 +88,18 @@ def main():
     opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,
                         direction=direction, m=m, maxls=maxls)
     ladder_kw = {}
-    if os.environ.get("BENCH_INNER", "lbfgs") == "lm":
+    if os.environ.get("BENCH_SOLVER", "") == "fused":
+        # whole-solve Pallas kernel: the ENTIRE L-BFGS inner solve in one
+        # launch per rung (kernels/solve_pallas.py)
+        from varanneal_tpu.kernels import solve_pallas
+        if solve_pallas.solve_supported(spec, dtype(1.0), opts,
+                                        dtype=dtype):
+            ladder_kw = dict(
+                rung_solver=solve_pallas.make_rung_solver(spec, opts))
+        else:
+            print("# BENCH_SOLVER=fused unsupported here; generic loop",
+                  file=sys.stderr)
+    elif os.environ.get("BENCH_INNER", "lbfgs") == "lm":
         from varanneal_tpu.opt.lm import make_residual_fn, LMOptions
         ladder_kw = dict(inner="lm", residual_fn=make_residual_fn(spec),
                          lm_opts=LMOptions(maxiter=maxiter // 10,

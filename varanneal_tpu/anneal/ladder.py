@@ -83,7 +83,8 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
                lower=None, upper=None, opts: Optional[LBFGSOptions] = None,
                store_paths: bool = True, inner: str = "lbfgs",
                residual_fn=None, lm_opts=None,
-               tnc_opts=None, rf_max=None, rf_min=None) -> LadderResult:
+               tnc_opts=None, rf_max=None, rf_min=None,
+               rung_solver=None) -> LadderResult:
     """Run the full annealing ladder from initial decision vector ``XP0``.
 
     ``betas``: (Nbeta,) exponents (int or float — cast to the action dtype);
@@ -110,6 +111,11 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
     ``residual_fn(XP, rf)``) — 'tnc' (truncated Newton-CG with bound
     projection, ``opt/tnc.py``), or 'ncg' (nonlinear conjugate gradient,
     unbounded only).
+
+    ``rung_solver``: optional ``solve(XP, rf) -> LBFGSResult`` replacing
+    the inner minimizer entirely (e.g. the whole-solve Pallas kernel,
+    ``kernels/solve_pallas.make_rung_solver`` — one launch per rung).
+    Takes precedence over ``inner``.
     """
     opts = opts or LBFGSOptions()
     XP0 = jax.tree_util.tree_map(jnp.asarray, XP0)
@@ -148,7 +154,9 @@ def run_ladder(action, action_parts, XP0, betas, rf0, alpha, *,
             rf = jnp.maximum(rf, rf_min)
         if rf_max is not None:
             rf = jnp.minimum(rf, rf_max)
-        if inner == "lm":
+        if rung_solver is not None:
+            res = rung_solver(XP, rf)
+        elif inner == "lm":
             res = lm_minimize(lambda z: residual_fn(z, rf), XP,
                               lower=lower, upper=upper, opts=lm_opts)
         elif inner == "ncg":

@@ -104,6 +104,92 @@ def _mm(x, y):
                    precision=lax.Precision.HIGHEST)
 
 
+def build_fwd(spec, has_stim, rf_mode, rf_vals, Y_emb, W_emb, svals,
+              N_pad, D_pad, dtype):
+    """Build the in-kernel action forward ``fwd(Xv, p2) -> scalar`` from
+    VMEM values (shared between the per-eval kernel below and the
+    whole-solve kernel in ``solve_pallas.py``). ``rf_vals``: [scalar] or
+    [(N_pad, D_pad) diag] or [rf_s, rf_h] for 'diag_sh'; ``svals``: list
+    of (N_pad, S) stimulus shift views (empty when undriven). The shift
+    matrix, time ramp and residual mask are constructed here (hoist the
+    call outside loops)."""
+    sh = spec.disc == "SimpsonHermite"
+    D, N_f = spec.D, spec.N_f
+    h = jnp.asarray(spec.dt, dtype)
+
+    # shift matrix: output row n = input row n+1 (zero last row)
+    ri = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 1)
+    S = (ci == ri + 1).astype(dtype)
+
+    t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
+    gdt = jnp.asarray(_grid_dt(spec), dtype)
+    # tpu.iota is integer-only (measured): int32 iota then cast
+    rows_i = lax.broadcasted_iota(jnp.int32, (N_pad, 1), 0)
+    t = (t0 + gdt * rows_i.astype(dtype))[:, 0]
+    rows2 = lax.broadcasted_iota(jnp.int32, (N_pad, D_pad), 0)
+    if sh:
+        # Simpson/Hermite residual rows: EVEN rows n <= N_f - 3
+        rmask = ((rows2 < N_f - 2)
+                 & (rows2 % jnp.asarray(2, jnp.int32) == 0)).astype(dtype)
+    else:
+        rmask = (rows2 < N_f - 1).astype(dtype)
+
+    me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
+    fe_norm = jnp.asarray(1.0 / (spec.D * (spec.N_f - 1)), dtype)
+
+    def call_f(tt, xx, pp, ss):
+        if ss is None:
+            return spec.f(tt, xx, pp)
+        return spec.f(tt, xx, (pp, ss))
+
+    def _dpad(r):
+        if D_pad > D:
+            return jnp.concatenate(
+                [r, jnp.zeros((N_pad, D_pad - D), dtype)], axis=1)
+        return r
+
+    def fwd(Xv, p2):
+        p = p2[0, : spec.NP]
+        x = Xv[:, :D]
+        x1 = _mm(S, Xv)[:, :D]
+        if sh:
+            # h is the FULL interval over [n, n+2]; grid spacing h/2
+            x2 = _mm(S, _mm(S, Xv))[:, :D]
+            f0 = call_f(t, x, p, svals[0] if has_stim else None)
+            f0p = _dpad(f0)
+            f1 = _mm(S, f0p)[:, :D]
+            f2 = _mm(S, _mm(S, f0p))[:, :D]
+            r_s = x2 - x - (h / 6.0) * (f0 + 4.0 * f1 + f2)
+            r_h = x1 - 0.5 * (x + x2) - (h / 8.0) * (f0 - f2)
+            r_s, r_h = _dpad(r_s), _dpad(r_h)
+            if rf_mode == "diag_sh":
+                fe = (jnp.sum(rf_vals[0] * rmask * r_s * r_s)
+                      + jnp.sum(rf_vals[1] * rmask * r_h * r_h))
+            else:
+                fe = rf_vals[0] * (jnp.sum(rmask * r_s * r_s)
+                                   + jnp.sum(rmask * r_h * r_h))
+            fe = fe_norm * fe
+        else:
+            f_n = call_f(t, x, p, svals[0] if has_stim else None)
+            if spec.disc == "trapezoid":
+                f_np1 = call_f(t + h, x1, p,
+                               svals[1] if has_stim else None)
+                r = x1 - x - (h / 2.0) * (f_n + f_np1)
+            elif spec.disc == "euler":
+                r = x1 - x - h * f_n
+            else:                                  # forwardmap
+                r = x1 - f_n
+            r = _dpad(r)
+            rf_w = rf_vals[0]
+            fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
+        dobs = Xv - Y_emb
+        me = me_norm * jnp.sum(W_emb * dobs * dobs)
+        return me + fe
+
+    return fwd
+
+
 def _ag_kernel(spec, has_stim, rf_mode, *refs):
     """One member. Inputs:
       X_ref  (1, N_pad, D_pad)  state rows (rows >= N_f zero),
@@ -141,84 +227,12 @@ def _ag_kernel(spec, has_stim, rf_mode, *refs):
     X = X_ref[0]                                   # (N_pad, D_pad)
     dtype = X.dtype
     N_pad, D_pad = X.shape
-    D, N_f = spec.D, spec.N_f
-    h = jnp.asarray(spec.dt, dtype)
-
-    # shift matrix: output row n = input row n+1 (zero last row)
-    ri = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 1)
-    S = (ci == ri + 1).astype(dtype)
-
-    t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
-    gdt = jnp.asarray(_grid_dt(spec), dtype)
-    # tpu.iota is integer-only (measured): int32 iota then cast
-    rows_i = lax.broadcasted_iota(jnp.int32, (N_pad, 1), 0)
-    t = (t0 + gdt * rows_i.astype(dtype))[:, 0]
-    rows2 = lax.broadcasted_iota(jnp.int32, (N_pad, D_pad), 0)
-    if sh:
-        # Simpson/Hermite residual rows: EVEN rows n <= N_f - 3
-        rmask = ((rows2 < N_f - 2)
-                 & (rows2 % jnp.asarray(2, jnp.int32) == 0)).astype(dtype)
-    else:
-        rmask = (rows2 < N_f - 1).astype(dtype)
-    Y_emb = y_ref[0]
-    W_emb = w_ref[0]
     S_w = spec.stim_f.shape[1] if has_stim else 0
     svals = [r[0][:, :S_w] for r in st_refs]
-
-    me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
-    fe_norm = jnp.asarray(1.0 / (spec.D * (spec.N_f - 1)), dtype)
-
-    def call_f(tt, xx, pp, ss):
-        if ss is None:
-            return spec.f(tt, xx, pp)
-        return spec.f(tt, xx, (pp, ss))
-
-    def _dpad(r):
-        if D_pad > D:
-            return jnp.concatenate(
-                [r, jnp.zeros((N_pad, D_pad - D), dtype)], axis=1)
-        return r
-
-    def fwd(Xv, p2):
-        p = p2[0, : spec.NP]
-        x = Xv[:, :D]
-        x1 = _mm(S, Xv)[:, :D]
-        if sh:
-            # h is the FULL interval over [n, n+2]; grid spacing h/2
-            x2 = _mm(S, _mm(S, Xv))[:, :D]
-            f0 = call_f(t, x, p, svals[0] if has_stim else None)
-            f0p = _dpad(f0)
-            f1 = _mm(S, f0p)[:, :D]
-            f2 = _mm(S, _mm(S, f0p))[:, :D]
-            r_s = x2 - x - (h / 6.0) * (f0 + 4.0 * f1 + f2)
-            r_h = x1 - 0.5 * (x + x2) - (h / 8.0) * (f0 - f2)
-            r_s, r_h = _dpad(r_s), _dpad(r_h)
-            if rf_mode == "diag_sh":
-                fe = (jnp.sum(rf_refs[0][0] * rmask * r_s * r_s)
-                      + jnp.sum(rf_refs[1][0] * rmask * r_h * r_h))
-            else:
-                fe = rf_refs[0][0, 0, 0] * (
-                    jnp.sum(rmask * r_s * r_s)
-                    + jnp.sum(rmask * r_h * r_h))
-            fe = fe_norm * fe
-        else:
-            f_n = call_f(t, x, p, svals[0] if has_stim else None)
-            if spec.disc == "trapezoid":
-                f_np1 = call_f(t + h, x1, p,
-                               svals[1] if has_stim else None)
-                r = x1 - x - (h / 2.0) * (f_n + f_np1)
-            elif spec.disc == "euler":
-                r = x1 - x - h * f_n
-            else:                                  # forwardmap
-                r = x1 - f_n
-            r = _dpad(r)
-            rf_w = (rf_refs[0][0] if rf_mode == "diag"
-                    else rf_refs[0][0, 0, 0])
-            fe = fe_norm * jnp.sum(rf_w * rmask * r * r)
-        dobs = Xv - Y_emb
-        me = me_norm * jnp.sum(W_emb * dobs * dobs)
-        return me + fe
+    rf_vals = ([rf_refs[0][0, 0, 0]] if rf_mode == "scalar"
+               else [r[0] for r in rf_refs])
+    fwd = build_fwd(spec, has_stim, rf_mode, rf_vals, y_ref[0], w_ref[0],
+                    svals, N_pad, D_pad, dtype)
 
     val, vjp = jax.vjp(fwd, X, p_ref[0])
     gX, gp2 = vjp(jnp.ones((), dtype))
@@ -284,22 +298,17 @@ def _ag_batched(spec, has_stim, rf_mode, rf_shared, X, p2, rf_args,
         out_shape=out_shape, interpret=_INTERPRET[0])(*args)
 
 
-def make_action_ag(spec: ProblemSpec):
-    """Build ``(action, action_parts)``: ``action(XP, rf)`` carries a
-    custom_vjp whose FORWARD computes value AND gradient in one Pallas
-    launch, so ``jax.value_and_grad(action)`` costs a single kernel.
-    ``action_parts`` stays on the XLA path (used once per rung for
-    records, not in the hot loop). Same contract as
-    ``ops.action.make_action``; only valid where :func:`ag_supported`.
-    Covers all four discretizations and any uniform observation stride
-    (the stride is baked into the host-side weight embedding)."""
+def embed_consts(spec: ProblemSpec):
+    """Host-side shared constants for the whole-problem kernels:
+    ``(N_pad, D_pad, NP_pad, yv, wv, sts)`` with yv/wv the embedded
+    observation targets/RM weights (1, N_pad, D_pad) and sts the
+    stimulus shift views (each (1, N_pad, S_pad))."""
     N_f, D, NP = spec.N_f, spec.D, spec.NP
     N_pad = _pad_to(N_f, 8)
     D_pad = _pad_to(D, 128)
     NP_pad = _pad_to(max(NP, 1), 128)
     sh = spec.disc == "SimpsonHermite"
 
-    # --- host-side constants ------------------------------------------
     RM = np.asarray(spec.RM, dtype=np.float32)
     Lidx = np.asarray(spec.Lidx, dtype=np.int32)
     Y = np.asarray(spec.Y, dtype=np.float32)
@@ -323,12 +332,18 @@ def make_action_ag(spec: ProblemSpec):
         sts = tuple(sts)
     else:
         sts = ()
+    return N_pad, D_pad, NP_pad, yv, wv, sts
 
+
+def make_prep(spec: ProblemSpec, N_pad, D_pad, NP_pad):
+    """Host-side packing ``prep(XP, rf) -> (Xp, p2, rf_args, rf_mode)``
+    shared by the whole-problem kernels."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    sh = spec.disc == "SimpsonHermite"
     M_sh = (N_f - 1) // 2
     even_rows = np.arange(M_sh) * 2
 
     def _prep(XP, rf):
-        """-> (Xp, p2, rf_args tuple, rf_mode)."""
         X = XP[: spec.n_state].reshape(N_f, D)
         pest = XP[spec.n_state:]
         P = _action.merge_params(spec, pest, XP.dtype)
@@ -350,6 +365,23 @@ def make_action_ag(spec: ProblemSpec):
                 : N_f - 1, :D].set(rf[: N_f - 1])
             return Xp, p2, (rfp,), "diag"
         return Xp, p2, (rf.reshape(1, 1),), "scalar"
+
+    return _prep
+
+
+def make_action_ag(spec: ProblemSpec):
+    """Build ``(action, action_parts)``: ``action(XP, rf)`` carries a
+    custom_vjp whose FORWARD computes value AND gradient in one Pallas
+    launch, so ``jax.value_and_grad(action)`` costs a single kernel.
+    ``action_parts`` stays on the XLA path (used once per rung for
+    records, not in the hot loop). Same contract as
+    ``ops.action.make_action``; only valid where :func:`ag_supported`.
+    Covers all four discretizations and any uniform observation stride
+    (the stride is baked into the host-side weight embedding)."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    N_pad, D_pad, NP_pad, yv, wv, sts = embed_consts(spec)
+    has_stim = spec.stim_f is not None
+    _prep = make_prep(spec, N_pad, D_pad, NP_pad)
 
     _cache = {}
 

@@ -1,0 +1,540 @@
+"""Whole-SOLVE fused Pallas kernel: one launch per annealing rung.
+
+The round-3 roofline (PARITY.md) pinned the small-problem regime's wall:
+SERIALIZATION. Every prior fusion step shrank the per-iteration kernel
+chain (fused direction, fused step, whole-problem action+grad) but the
+floor stayed ~2 launches per L-BFGS iteration, each costing ~10-17 us of
+fixed overhead against ~0.5 us of actual VPU work at the canonical bench
+shape. This kernel is the endgame the roofline implies: the ENTIRE
+unbounded L-BFGS inner solve — strong-Wolfe line search, two-loop
+direction recursion, curvature-gated history, termination — runs INSIDE
+one Pallas launch, with the action+gradient evaluated in-kernel via the
+shared ``ag_pallas.build_fwd`` forward (``jax.vjp`` traced inside the
+kernel). A full rung then costs ONE kernel launch; a 101-rung ladder
+costs 101 launches total instead of ~2 x iterations x rungs.
+
+Semantics mirror ``opt/lbfgs.py``'s generic loop with
+``direction='two_loop'`` (the two-loop recursion is the natural in-kernel
+form: only dots and axpys over the history, no (m, m) solves), the same
+strong-Wolfe bracket/zoom state machine (one eval per step, cubic
+interpolation, a_max cap semantics), the same curvature gate, and the
+same termination statuses. Parity is tested in interpret mode against
+the XLA solver on identical problems.
+
+Decision-state layout inside the kernel (per member): the state block
+(N_pad, D_pad) and the full parameter row (1, NP_pad) form a 2-leaf
+vector; dots/axpys/norms act on both. Non-estimated parameters are
+frozen by masking the parameter gradient with a host-built pidx mask —
+their direction components are then identically zero and they never
+move. History lives in VMEM scratch (m step/grad-diff pairs per leaf)
+addressed by a dynamic leading index (circular buffer, no rolling
+copies).
+
+Supported (``solve_supported``): everything ``ag_supported`` allows,
+UNBOUNDED solves, f32, and a VMEM budget check — (2m + ~12) blocks plus
+the (N_pad, N_pad) shift matrix must fit. Members ride the Pallas grid
+(custom_vmap), each paying only ITS OWN iteration count — unlike the
+vmapped XLA while_loop where every member pays the slowest lane.
+
+Reference semantics: the reference's per-rung call into SciPy's Fortran
+L-BFGS-B (``varanneal/_autodiffmin.py :: min_lbfgs_scipy`` [M,
+SURVEY.md §2]); this is its TPU-native extreme — the whole solve as one
+fused device program.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from varanneal_tpu.ops.spec import ProblemSpec
+from varanneal_tpu.kernels.ag_pallas import (
+    ag_supported, build_fwd, embed_consts, make_prep, _pad_to)
+from varanneal_tpu.opt.lbfgs import (
+    LBFGSOptions, LBFGSResult, CONV_GRAD, CONV_FTOL, MAXITER, LS_FAIL)
+
+_INTERPRET = [False]
+
+
+def set_interpret(flag: bool):
+    _INTERPRET[0] = bool(flag)
+
+
+def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
+                    dtype=np.float32, bounded=False) -> bool:
+    """Static predicate: the whole-solve kernel applies. Bounds keep the
+    XLA path (the subspace L-BFGS-B is a different algorithm); the VMEM
+    budget covers the 4m history blocks, ~12 live vector blocks and the
+    (N_pad, N_pad) shift matrix."""
+    if bounded or not ag_supported(spec, rf, dtype):
+        return False
+    if opts.m > 8:
+        return False
+    N_pad = _pad_to(spec.N_f, 8)
+    D_pad = _pad_to(spec.D, 128)
+    vmem = ((2 * opts.m + 12) * N_pad * D_pad + N_pad * N_pad) * 4
+    if vmem > 10 * 2 ** 20:
+        return False
+    if _INTERPRET[0]:      # test mode: interpreter runs anywhere
+        return True
+    try:
+        return jax.default_backend() in ("tpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _cubic_min(a, fa, dfa, b, fb, dfb):
+    """Minimizer of the cubic Hermite interpolant on [a, b]; NaN-safe
+    fallback to bisection (mirrors opt/lbfgs.py::_cubic_min)."""
+    d1 = dfa + dfb - 3.0 * (fa - fb) / (a - b)
+    arg = d1 * d1 - dfa * dfb
+    d2 = jnp.sqrt(jnp.maximum(arg, 0.0)) * jnp.sign(b - a)
+    denom = dfb - dfa + 2.0 * d2
+    t = b - (b - a) * (dfb + d2 - d1) / denom
+    bad = (arg < 0.0) | ~jnp.isfinite(t) | (denom == 0.0)
+    return jnp.where(bad, 0.5 * (a + b), t)
+
+
+def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
+    """One member: the full L-BFGS solve. Ref order:
+      X_ref (1, N_pad, D_pad), p_ref (1, 1, NP_pad),
+      pm_ref (1, 1, NP_pad) estimated-parameter 0/1 mask,
+      rf refs per mode (scalar SMEM (1, 1, 1) | diag blocks),
+      y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
+      -> Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref (1, 1, 128)
+         [f, pgnorm, niter, nfev, status],
+      scratch: Sx (m, N_pad, D_pad), Yx (m, N_pad, D_pad),
+               Sp (m, 1, NP_pad), Yp (m, 1, NP_pad).
+    """
+    m = opts.m
+    sh = spec.disc == "SimpsonHermite"
+    n_rf = 2 if rf_mode == "diag_sh" else 1
+    n_st = (3 if sh else 2) if has_stim else 0
+    refs = list(refs)
+    X_ref = refs.pop(0)
+    p_ref = refs.pop(0)
+    pm_ref = refs.pop(0)
+    rf_refs = [refs.pop(0) for _ in range(n_rf)]
+    y_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    st_refs = [refs.pop(0) for _ in range(n_st)]
+    Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref = refs[:5]
+    Sx_ref, Yx_ref, Sp_ref, Yp_ref = refs[5:]
+
+    X0 = X_ref[0]
+    dtype = X0.dtype
+    N_pad, D_pad = X0.shape
+    S_w = spec.stim_f.shape[1] if has_stim else 0
+    svals = [r[0][:, :S_w] for r in st_refs]
+    rf_vals = ([rf_refs[0][0, 0, 0]] if rf_mode == "scalar"
+               else [r[0] for r in rf_refs])
+    fwd = build_fwd(spec, has_stim, rf_mode, rf_vals, y_ref[0], w_ref[0],
+                    svals, N_pad, D_pad, dtype)
+    pmask = pm_ref[0]                              # (1, NP_pad)
+
+    one = jnp.ones((), dtype)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    tiny_den = jnp.asarray(1e-30, dtype)
+    c1 = jnp.asarray(opts.c1, dtype)
+    c2 = jnp.asarray(opts.c2, dtype)
+    pgtol = jnp.asarray(opts.pgtol, dtype)
+    ftol = jnp.asarray(opts.ftol, dtype)
+    m_i = jnp.asarray(m, jnp.int32)
+
+    def vag(Xv, pv):
+        val, vjp = jax.vjp(fwd, Xv, pv)
+        gX, gp = vjp(one)
+        return val, gX, gp * pmask          # frozen params never move
+
+    def tdot(ax, ap, bx, bp):
+        return jnp.sum(ax * bx) + jnp.sum(ap * bp)
+
+    def tmax_abs(ax, ap):
+        return jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(ap)))
+
+    # ---- two-loop recursion over the scratch history -------------------
+    def direction(gX, gp, head, hlen):
+        qX, qp = gX, gp
+        ks = []
+        for k in range(m):
+            idx = jnp.mod(head - 1 - k, m_i)
+            valid = (k < hlen).astype(dtype)
+            sX = Sx_ref[idx]
+            sp = Sp_ref[idx]
+            yX = Yx_ref[idx]
+            yp = Yp_ref[idx]
+            sy = tdot(sX, sp, yX, yp)
+            rho = valid / jnp.maximum(sy, tiny_den)
+            a_k = rho * tdot(sX, sp, qX, qp)
+            qX = qX - a_k * yX
+            qp = qp - a_k * yp
+            ks.append((a_k, rho, idx))
+        idx_n = jnp.mod(head - 1, m_i)
+        sXn, spn = Sx_ref[idx_n], Sp_ref[idx_n]
+        yXn, ypn = Yx_ref[idx_n], Yp_ref[idx_n]
+        sy_n = tdot(sXn, spn, yXn, ypn)
+        yy_n = tdot(yXn, ypn, yXn, ypn)
+        gamma = jnp.where(hlen > 0, sy_n / jnp.maximum(yy_n, tiny_den),
+                          one)
+        qX = gamma * qX
+        qp = gamma * qp
+        for a_k, rho, idx in reversed(ks):
+            sX, sp = Sx_ref[idx], Sp_ref[idx]
+            yX, yp = Yx_ref[idx], Yp_ref[idx]
+            beta = rho * tdot(yX, yp, qX, qp)
+            qX = qX + (a_k - beta) * sX
+            qp = qp + (a_k - beta) * sp
+        dX, dp = -qX, -qp
+        desc = tdot(dX, dp, gX, gp)
+        bad = (desc >= 0) | ~jnp.isfinite(desc)
+        return (jnp.where(bad, -gX, dX), jnp.where(bad, -gp, dp))
+
+    # ---- strong-Wolfe line search (mirrors opt/lbfgs.py) ---------------
+    def line_search(xX, xp, dX, dp, f0, gX0, gp0, a_init):
+        dphi0 = tdot(gX0, gp0, dX, dp)
+        zero = jnp.zeros((), dtype)
+        # carry: stage, done, failed, i, a, a_prev, f_prev, d_prev,
+        #        a_lo, f_lo, d_lo, a_hi, f_hi, d_hi, a_star, f_star,
+        #        gX_star, gp_star
+        init = (jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+                jnp.minimum(a_init, big), zero, f0, dphi0,
+                zero, f0, dphi0, zero, f0, dphi0,
+                zero, f0, gX0, gp0)
+
+        def cond(s):
+            return ~(s[1] | s[2]) & (s[3] < opts.maxls)
+
+        def body(s):
+            (stage, done, failed, i, a, a_prev, f_prev, d_prev,
+             a_lo, f_lo, d_lo, a_hi, f_hi, d_hi,
+             a_star, f_star, gX_star, gp_star) = s
+            f_a, gX_a, gp_a = vag(xX + a * dX, xp + a * dp)
+            dphi_a = tdot(gX_a, gp_a, dX, dp)
+            i = i + 1
+            armijo_fail = (f_a > f0 + c1 * a * dphi0)
+            nan_bad = ~jnp.isfinite(f_a)
+            curv_ok = jnp.abs(dphi_a) <= -c2 * dphi0
+            in_br = stage == 0
+
+            at_cap = a >= big
+            hi_b = armijo_fail | ((i > 1) & (f_a >= f_prev)) | nan_bad
+            accept_b = ~hi_b & (curv_ok | at_cap)
+            to_zoom_rev = ~hi_b & ~curv_ok & ~at_cap & (dphi_a >= 0)
+            enter_zoom = hi_b | to_zoom_rev
+            a_lo_b = jnp.where(hi_b, a_prev, a)
+            f_lo_b = jnp.where(hi_b, f_prev, f_a)
+            d_lo_b = jnp.where(hi_b, d_prev, dphi_a)
+            a_hi_b = jnp.where(hi_b, a, a_prev)
+            f_hi_b = jnp.where(hi_b, f_a, f_prev)
+            d_hi_b = jnp.where(hi_b, dphi_a, d_prev)
+
+            hi_z = armijo_fail | (f_a >= f_lo) | nan_bad
+            accept_z = ~hi_z & curv_ok
+            swap = ~hi_z & ~curv_ok & (dphi_a * (a_hi - a_lo) >= 0)
+            a_hi_z = jnp.where(hi_z, a, jnp.where(swap, a_lo, a_hi))
+            f_hi_z = jnp.where(hi_z, f_a, jnp.where(swap, f_lo, f_hi))
+            d_hi_z = jnp.where(hi_z, dphi_a, jnp.where(swap, d_lo, d_hi))
+            a_lo_z = jnp.where(hi_z, a_lo, a)
+            f_lo_z = jnp.where(hi_z, f_lo, f_a)
+            d_lo_z = jnp.where(hi_z, d_lo, dphi_a)
+
+            a_lo_n = jnp.where(in_br, a_lo_b, a_lo_z)
+            f_lo_n = jnp.where(in_br, f_lo_b, f_lo_z)
+            d_lo_n = jnp.where(in_br, d_lo_b, d_lo_z)
+            a_hi_n = jnp.where(in_br, a_hi_b, a_hi_z)
+            f_hi_n = jnp.where(in_br, f_hi_b, f_hi_z)
+            d_hi_n = jnp.where(in_br, d_hi_b, d_hi_z)
+            width = jnp.abs(a_hi_n - a_lo_n)
+            a_interp = _cubic_min(a_lo_n, f_lo_n, d_lo_n,
+                                  a_hi_n, f_hi_n, d_hi_n)
+            a_interp = jnp.clip(
+                a_interp,
+                jnp.minimum(a_lo_n, a_hi_n) + 0.1 * width,
+                jnp.maximum(a_lo_n, a_hi_n) - 0.1 * width)
+            a_expand = jnp.minimum(2.0 * a, big)
+            a_next = jnp.where(in_br & ~enter_zoom, a_expand, a_interp)
+            tiny = width <= 1e-14 * jnp.maximum(one, jnp.abs(a_lo_n))
+            accept = jnp.where(in_br, accept_b, accept_z)
+            failed_n = jnp.where(in_br, nan_bad & (i >= opts.maxls),
+                                 tiny & ~accept)
+            stage_n = jnp.where(in_br & ~enter_zoom, 0, 1).astype(
+                jnp.int32)
+            return (stage_n, accept, failed_n, i, a_next,
+                    a, jnp.where(in_br, f_a, f_prev),
+                    jnp.where(in_br, dphi_a, d_prev),
+                    a_lo_n, f_lo_n, d_lo_n, a_hi_n, f_hi_n, d_hi_n,
+                    jnp.where(accept, a, a_star),
+                    jnp.where(accept, f_a, f_star),
+                    jnp.where(accept, gX_a, gX_star),
+                    jnp.where(accept, gp_a, gp_star))
+
+        s = lax.while_loop(cond, body, init)
+        (stage, done, failed, i, a, a_prev, f_prev, d_prev,
+         a_lo, f_lo, d_lo, a_hi, f_hi, d_hi,
+         a_star, f_star, gX_star, gp_star) = s
+
+        have_lo = (a_lo > 0) & (f_lo < f0)
+        ok = done | have_lo
+        # fallback eval at a_lo (Armijo holds there by construction),
+        # only when no Wolfe point was accepted
+        need_lo = ~done & have_lo
+        f_lo_e, gX_lo_e, gp_lo_e = lax.cond(
+            need_lo,
+            lambda: vag(xX + a_lo * dX, xp + a_lo * dp),
+            lambda: (f0, gX0, gp0))
+        a_out = jnp.where(done, a_star, jnp.where(have_lo, a_lo,
+                                                  jnp.zeros((), dtype)))
+        f_out = jnp.where(done, f_star, jnp.where(have_lo, f_lo_e, f0))
+        gX_out = jnp.where(done, gX_star,
+                           jnp.where(have_lo, gX_lo_e, gX0))
+        gp_out = jnp.where(done, gp_star,
+                           jnp.where(have_lo, gp_lo_e, gp0))
+        nfev = i + jnp.where(done | ~have_lo, 0, 1)
+        return a_out, f_out, gX_out, gp_out, nfev, ok
+
+    # ---- init -----------------------------------------------------------
+    p0 = p_ref[0]
+    f0, gX0, gp0 = vag(X0, p0)
+    pg0 = tmax_abs(gX0, gp0)
+    gn1_0 = jnp.sum(jnp.abs(gX0)) + jnp.sum(jnp.abs(gp0))
+    done0 = pg0 <= pgtol
+    status0 = jnp.where(done0, CONV_GRAD, MAXITER).astype(jnp.int32)
+
+    # zero the history scratch (persistent VMEM is uninitialized)
+    for k in range(m):
+        ki = jnp.asarray(k, jnp.int32)
+        Sx_ref[ki] = jnp.zeros((N_pad, D_pad), dtype)
+        Yx_ref[ki] = jnp.zeros((N_pad, D_pad), dtype)
+        Sp_ref[ki] = jnp.zeros((1, Sp_ref.shape[-1]), dtype)
+        Yp_ref[ki] = jnp.zeros((1, Yp_ref.shape[-1]), dtype)
+
+    # carry: X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
+    #        status, done
+    init = (X0, p0, f0, gX0, gp0, -gX0, -gp0, gn1_0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32),
+            status0, done0)
+
+    def cond(s):
+        return ~s[13] & (s[10] < opts.maxiter)
+
+    def body(s):
+        (X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
+         status, done) = s
+        a_init = jnp.where(
+            hlen == 0,
+            jnp.minimum(one, 1.0 / jnp.maximum(gnorm1, tiny_den)), one)
+        a, f_new, gX_new, gp_new, ls_nfev, ls_ok = line_search(
+            X, p, dX, dp, f, gX, gp, a_init)
+        X_new = X + a * dX
+        p_new = p + a * dp
+
+        # curvature-gated history write at the head slot
+        sX = X_new - X
+        sp = p_new - p
+        yX = gX_new - gX
+        yp = gp_new - gp
+        sy = tdot(sX, sp, yX, yp)
+        s2 = tdot(sX, sp, sX, sp)
+        y2 = tdot(yX, yp, yX, yp)
+        good = ls_ok & (sy > 1e-10 * jnp.sqrt(s2 * y2)) & (sy > 0)
+        gf = good.astype(dtype)
+        Sx_ref[head] = gf * sX + (1.0 - gf) * Sx_ref[head]
+        Yx_ref[head] = gf * yX + (1.0 - gf) * Yx_ref[head]
+        Sp_ref[head] = gf * sp + (1.0 - gf) * Sp_ref[head]
+        Yp_ref[head] = gf * yp + (1.0 - gf) * Yp_ref[head]
+        head_n = jnp.where(good, jnp.mod(head + 1, m_i), head)
+        hlen_n = jnp.where(good, jnp.minimum(hlen + 1, m), hlen)
+
+        pgn = tmax_abs(gX_new, gp_new)
+        gn1 = jnp.sum(jnp.abs(gX_new)) + jnp.sum(jnp.abs(gp_new))
+        df = f - f_new
+        fden = jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_new)), one)
+        conv_g = pgn <= pgtol
+        conv_f = df <= ftol * fden
+        fail = ~ls_ok
+        done_n = conv_g | conv_f | fail
+        status_n = jnp.where(
+            conv_g, CONV_GRAD,
+            jnp.where(fail, LS_FAIL,
+                      jnp.where(conv_f, CONV_FTOL, MAXITER))).astype(
+            jnp.int32)
+
+        dX_n, dp_n = direction(gX_new, gp_new, head_n, hlen_n)
+        X_out = jnp.where(fail, X, X_new)
+        p_out = jnp.where(fail, p, p_new)
+        f_out = jnp.where(fail, f, f_new)
+        gX_out = jnp.where(fail, gX, gX_new)
+        gp_out = jnp.where(fail, gp, gp_new)
+        return (X_out, p_out, f_out, gX_out, gp_out, dX_n, dp_n, gn1,
+                head_n, hlen_n, niter + 1, nfev + ls_nfev, status_n,
+                done_n)
+
+    s = lax.while_loop(cond, body, init)
+    (X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
+     status, done) = s
+    pgn = tmax_abs(gX, gp)
+
+    Xo_ref[0] = X
+    po_ref[0] = p
+    gxo_ref[0] = gX
+    gpo_ref[0] = gp
+    cc = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    s_ref[0] = ((cc == 0).astype(dtype) * f
+                + (cc == 1).astype(dtype) * pgn
+                + (cc == 2).astype(dtype) * niter.astype(dtype)
+                + (cc == 3).astype(dtype) * nfev.astype(dtype)
+                + (cc == 4).astype(dtype) * status.astype(dtype))
+
+
+def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
+                   X, p2, pm, rf_args, yv, wv, sts):
+    """X (B, N_pad, D_pad), p2/pm (B, 1, NP_pad); rf/constants as in
+    ag_pallas._ag_batched. Returns (Xo, po, gxo, gpo, s)."""
+    B, N_pad, D_pad = X.shape
+    NP_pad = p2.shape[-1]
+    m = opts.m
+    kern = functools.partial(_solve_kernel, spec, has_stim, rf_mode, opts)
+    vmem = pltpu.VMEM
+
+    def per_member(shp):
+        return pl.BlockSpec(shp,
+                            lambda b: (b,) + (b * 0,) * (len(shp) - 1),
+                            memory_space=vmem)
+
+    shared3 = pl.BlockSpec((1, N_pad, D_pad),
+                           lambda b: (b * 0, b * 0, b * 0),
+                           memory_space=vmem)
+    in_specs = [per_member((1, N_pad, D_pad)),
+                per_member((1, 1, NP_pad)),
+                per_member((1, 1, NP_pad))]
+    if rf_mode == "scalar":
+        in_specs.append(pl.BlockSpec((1, 1, 1),
+                                     lambda b: (b, b * 0, b * 0),
+                                     memory_space=pltpu.SMEM))
+    else:
+        for _ in rf_args:
+            in_specs.append(shared3 if rf_shared
+                            else per_member((1, N_pad, D_pad)))
+    in_specs += [shared3, shared3]
+    args = [X, p2, pm] + list(rf_args) + [yv, wv]
+    if has_stim:
+        S_pad = sts[0].shape[-1]
+        sshared = pl.BlockSpec((1, N_pad, S_pad),
+                               lambda b: (b * 0, b * 0, b * 0),
+                               memory_space=vmem)
+        in_specs += [sshared] * len(sts)
+        args += list(sts)
+    out_specs = [
+        per_member((1, N_pad, D_pad)),
+        per_member((1, 1, NP_pad)),
+        per_member((1, N_pad, D_pad)),
+        per_member((1, 1, NP_pad)),
+        per_member((1, 1, 128)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N_pad, D_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, NP_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, N_pad, D_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, NP_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, 128), X.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((m, N_pad, D_pad), X.dtype),
+        pltpu.VMEM((m, N_pad, D_pad), X.dtype),
+        pltpu.VMEM((m, 1, NP_pad), X.dtype),
+        pltpu.VMEM((m, 1, NP_pad), X.dtype),
+    ]
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, scratch_shapes=scratch,
+        interpret=_INTERPRET[0])(*args)
+
+
+def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions):
+    """Build ``solve(XP, rf) -> LBFGSResult`` running the whole L-BFGS
+    inner solve in one Pallas launch (per member under vmap). Drop-in
+    for the ``run_ladder(..., rung_solver=)`` hook; only valid where
+    :func:`solve_supported`."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    N_pad, D_pad, NP_pad, yv, wv, sts = embed_consts(spec)
+    has_stim = spec.stim_f is not None
+    _prep = make_prep(spec, N_pad, D_pad, NP_pad)
+    pmask_np = np.zeros((1, NP_pad), np.float32)
+    if spec.NPest:
+        pmask_np[0, np.asarray(spec.pidx, np.int64)] = 1.0
+    pmask = jnp.asarray(pmask_np)
+    pcols = (np.asarray(spec.pidx, dtype=np.int32)
+             if spec.NPest else None)
+
+    _cache = {}
+
+    def _get_fn(rf_mode):
+        if rf_mode in _cache:
+            return _cache[rf_mode]
+        n_rf = 2 if rf_mode == "diag_sh" else 1
+
+        @jax.custom_batching.custom_vmap
+        def solve_fn(Xp, p2, pm, *rest):
+            rf_args = [r[None] for r in rest[:n_rf]]
+            cy, cw = rest[n_rf], rest[n_rf + 1]
+            outs = _solve_batched(spec, has_stim, rf_mode, False, opts,
+                                  Xp[None], p2[None], pm[None], rf_args,
+                                  cy, cw, rest[n_rf + 2:])
+            return tuple(o[0] for o in outs)
+
+        @solve_fn.def_vmap
+        def _solve_vmap(axis_size, in_batched, Xp, p2, pm, *rest):
+            B = axis_size
+
+            def bc(v, isb):
+                return v if isb else jnp.broadcast_to(
+                    v[None], (B,) + v.shape)
+
+            rf_in = rest[:n_rf]
+            rf_b = in_batched[3: 3 + n_rf]
+            consts = [c[0] if isb else c
+                      for c, isb in zip(rest[n_rf:],
+                                        in_batched[3 + n_rf:])]
+            cy, cw = consts[0], consts[1]
+            Xp = bc(Xp, in_batched[0])
+            p2 = bc(p2, in_batched[1])
+            pm = bc(pm, in_batched[2])
+            rf_shared = rf_mode != "scalar" and not any(rf_b)
+            if rf_shared:
+                rf_args = [r[None] for r in rf_in]
+            else:
+                rf_args = [bc(r, isb) for r, isb in zip(rf_in, rf_b)]
+            outs = _solve_batched(spec, has_stim, rf_mode, rf_shared,
+                                  opts, Xp, p2, pm, rf_args, cy, cw,
+                                  consts[2:])
+            return outs, tuple(True for _ in outs)
+
+        def call(Xp, p2, rf_args):
+            return solve_fn(Xp, p2, pmask, *rf_args, yv, wv, *sts)
+
+        _cache[rf_mode] = call
+        return call
+
+    def solve(XP, rf):
+        Xp, p2, rf_args, mode = _prep(XP, rf)
+        Xo, po, gxo, gpo, srow = _get_fn(mode)(Xp, p2, rf_args)
+        x_flat = Xo[:N_f, :D].reshape(-1)
+        g_flat = gxo[:N_f, :D].reshape(-1)
+        if spec.NPest:
+            x_flat = jnp.concatenate([x_flat, po[0, pcols]])
+            g_flat = jnp.concatenate([g_flat, gpo[0, pcols]])
+        return LBFGSResult(
+            x=x_flat, f=srow[0, 0], g=g_flat,
+            niter=srow[0, 2].astype(jnp.int32),
+            nfev=srow[0, 3].astype(jnp.int32),
+            status=srow[0, 4].astype(jnp.int32),
+            pgnorm=srow[0, 1])
+
+    return solve
