@@ -135,6 +135,34 @@ def test_sh_stim_diag_rf_quality():
     assert xk.shape == (spec.n_state + 3,)
 
 
+def test_facade_solver_fused():
+    """anneal(solver='fused') through the facade matches the generic
+    solver's ladder; bounded problems warn and fall back."""
+    from varanneal_tpu import Annealer
+
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+    betas = np.arange(8)
+
+    def run(solver, bounds=None):
+        an = Annealer()
+        an.set_model(lorenz96, 20)
+        an.set_data(tw["Y"], t=tw["t"])
+        an.anneal(np.tile(tw["Y"].mean(), (41, 20)),
+                  np.array([4.0]), 1.5, betas, tw["RM"],
+                  4e-6 * tw["RM"], tw["Lidx"], Pidx=[0],
+                  dtype=np.float32, track_paths=False,
+                  solver=solver, bounds=bounds,
+                  opt_args=dict(maxiter=100, m=5, pgtol=1e-4, ftol=1e-6,
+                                direction="two_loop"))
+        return an
+
+    a_f = run("fused")
+    a_g = run("generic")
+    np.testing.assert_allclose(a_f.A_array, a_g.A_array, rtol=5e-4)
+    with pytest.warns(UserWarning, match="fused.*unsupported"):
+        run("fused", bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)])
+
+
 def test_frozen_parameters_never_move():
     """Non-estimated parameters must be bit-frozen through the solve."""
     tw = nakl_twin(N=61, dt=0.04, sigma=1.0, seed=3)

@@ -21,6 +21,7 @@ Compatibility notes (pinned decisions, reference mount empty):
 """
 
 import time
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -177,7 +178,8 @@ class Annealer:
                verbose=False, checkpoint_path=None, checkpoint_every=10,
                resume=True, R_time_dependent=None, engine="auto",
                repeats=1, snapshot_beta=None, checkpoint_meta=None,
-               compensated=False, RF_max=None, RF_min=None):
+               compensated=False, RF_max=None, RF_min=None,
+               solver="generic"):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -211,7 +213,12 @@ class Annealer:
         accept the same shape zoo as RF0 (+inf cap / 0 floor = anneal
         normally). A capped component stops annealing at its cap; a
         floored component starts the ladder AT its floor and resumes
-        annealing once RF0·α^β overtakes it (see anneal/ladder.py).
+        annealing once RF0·α^β overtakes it (see anneal/ladder.py);
+        ``solver``: ``'generic'`` (default — the while_loop L-BFGS
+        family) or ``'fused'`` (the whole-solve Pallas kernel: the
+        entire inner solve in ONE launch per rung,
+        kernels/solve_pallas.py — unbounded f32 L-BFGS problems in the
+        kernel's VMEM envelope; warns and falls back where unsupported).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -296,6 +303,23 @@ class Annealer:
                                   pgtol=opts.pgtol, maxls=opts.maxls,
                                   **tnc_kw)
 
+        rung_solver = None
+        if solver not in ("generic", "fused"):
+            raise ValueError(f"solver must be generic/fused, got "
+                             f"{solver!r}")
+        if solver == "fused":
+            from varanneal_tpu.kernels import solve_pallas
+            if (method in ("L-BFGS-B", "LBFGS")
+                    and solve_pallas.solve_supported(
+                        spec, rf0, opts, dtype=dtype,
+                        bounded=lower is not None)):
+                rung_solver = solve_pallas.make_rung_solver(spec, opts)
+            else:
+                warnings.warn(
+                    "solver='fused' unsupported for this problem "
+                    "(bounds / dtype / disc / VMEM envelope / backend); "
+                    "using the generic solver", stacklevel=2)
+
         t0 = time.time()
         repeats = max(1, int(repeats))
         if (checkpoint_path is not None or repeats > 1
@@ -310,7 +334,8 @@ class Annealer:
                 repeats=repeats, snapshot_beta=snapshot_beta,
                 meta=checkpoint_meta,
                 inner=inner, residual_fn=residual_fn, lm_opts=lm_opts,
-                tnc_opts=tnc_opts, rf_max=rf_max, rf_min=rf_min)
+                tnc_opts=tnc_opts, rf_max=rf_max, rf_min=rf_min,
+                rung_solver=rung_solver)
         else:
             @jax.jit
             def _ladder(XP0, betas):
@@ -319,7 +344,7 @@ class Annealer:
                                   store_paths=track_paths, inner=inner,
                                   residual_fn=residual_fn, lm_opts=lm_opts,
                                   tnc_opts=tnc_opts, rf_max=rf_max,
-                                  rf_min=rf_min)
+                                  rf_min=rf_min, rung_solver=rung_solver)
 
             res = _ladder(jnp.asarray(XP0), jnp.asarray(betas))
         res = jax.tree_util.tree_map(np.asarray, res)
