@@ -19,6 +19,8 @@ vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
 (action implementation; 'ag' = whole-problem fused action+grad kernel,
 kernels/ag_pallas.py; BENCH_PALLAS=1 is a legacy alias for 'pallas'),
 BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
+BENCH_SOLVER=fused (whole-solve Pallas kernel: the entire L-BFGS inner
+solve in ONE launch per rung, kernels/solve_pallas.py),
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
 BENCH_TAIL64_TIMED=1 (legacy two-phase accuracy mode: the tail runs
 INSIDE the timed section — recovers the f64-level final action at ~f32
