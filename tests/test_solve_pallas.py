@@ -163,6 +163,31 @@ def test_facade_solver_fused():
         run("fused", bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)])
 
 
+def test_facade_solver_fused_checkpointed(tmp_path):
+    """The checkpointed ladder path (repeats > 1) forwards the fused
+    rung solver too."""
+    from varanneal_tpu import Annealer
+
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+
+    def run(solver):
+        an = Annealer()
+        an.set_model(lorenz96, 20)
+        an.set_data(tw["Y"], t=tw["t"])
+        an.anneal(np.tile(tw["Y"].mean(), (41, 20)),
+                  np.array([4.0]), 1.5, np.arange(6), tw["RM"],
+                  4e-6 * tw["RM"], tw["Lidx"], Pidx=[0],
+                  dtype=np.float32, track_paths=False, solver=solver,
+                  repeats=2,
+                  checkpoint_path=str(tmp_path / f"ck_{solver}.npz"),
+                  opt_args=dict(maxiter=60, m=5, pgtol=1e-4, ftol=1e-6,
+                                direction="two_loop"))
+        return an
+
+    a_f, a_g = run("fused"), run("generic")
+    np.testing.assert_allclose(a_f.A_array, a_g.A_array, rtol=5e-4)
+
+
 def test_frozen_parameters_never_move():
     """Non-estimated parameters must be bit-frozen through the solve."""
     tw = nakl_twin(N=61, dt=0.04, sigma=1.0, seed=3)
