@@ -19,8 +19,10 @@ vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
 (action implementation; 'ag' = whole-problem fused action+grad kernel,
 kernels/ag_pallas.py; BENCH_PALLAS=1 is a legacy alias for 'pallas'),
 BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
-BENCH_SOLVER=fused (whole-solve Pallas kernel: the entire L-BFGS inner
-solve in ONE launch per rung, kernels/solve_pallas.py),
+BENCH_SOLVER=fused|xla (default fused: whole-solve Pallas kernel — the
+entire L-BFGS inner solve in ONE launch per rung,
+kernels/solve_pallas.py, measured 4.2x XLA on-TPU at identical quality;
+auto-falls-back to the generic loop off-TPU or out of regime),
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
 BENCH_TAIL64_TIMED=1 (legacy two-phase accuracy mode: the tail runs
 INSIDE the timed section — recovers the f64-level final action at ~f32
@@ -90,15 +92,19 @@ def main():
     opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,
                         direction=direction, m=m, maxls=maxls)
     ladder_kw = {}
-    if os.environ.get("BENCH_SOLVER", "") == "fused":
+    if os.environ.get("BENCH_SOLVER", "fused") == "fused":
         # whole-solve Pallas kernel: the ENTIRE L-BFGS inner solve in one
-        # launch per rung (kernels/solve_pallas.py)
+        # launch per rung (kernels/solve_pallas.py). Default since the
+        # measured real-TPU A/B (PARITY.md): 4.2x XLA at identical final
+        # action/nfev on this exact config; solve_supported() gates on
+        # backend/dtype/VMEM so non-TPU runs fall back to the generic
+        # loop. BENCH_SOLVER=xla (any non-"fused" value) forces that.
         from varanneal_tpu.kernels import solve_pallas
         if solve_pallas.solve_supported(spec, dtype(1.0), opts,
                                         dtype=dtype):
             ladder_kw = dict(
                 rung_solver=solve_pallas.make_rung_solver(spec, opts))
-        else:
+        elif os.environ.get("BENCH_SOLVER"):
             print("# BENCH_SOLVER=fused unsupported here; generic loop",
                   file=sys.stderr)
     elif os.environ.get("BENCH_INNER", "lbfgs") == "lm":

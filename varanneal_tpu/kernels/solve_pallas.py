@@ -263,8 +263,11 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
             accept = jnp.where(in_br, accept_b, accept_z)
             failed_n = jnp.where(in_br, nan_bad & (i >= opts.maxls),
                                  tiny & ~accept)
-            stage_n = jnp.where(in_br & ~enter_zoom, 0, 1).astype(
-                jnp.int32)
+            # i32-typed branch consts: python ints make the where weak-i64
+            # under x64, and Mosaic's i64->i32 convert recurses forever
+            # (CLAUDE.md lowering pitfalls)
+            stage_n = jnp.where(in_br & ~enter_zoom, jnp.int32(0),
+                                jnp.int32(1))
             return (stage_n, accept, failed_n, i, a_next,
                     a, jnp.where(in_br, f_a, f_prev),
                     jnp.where(in_br, dphi_a, d_prev),
@@ -295,7 +298,7 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
                            jnp.where(have_lo, gX_lo_e, gX0))
         gp_out = jnp.where(done, gp_star,
                            jnp.where(have_lo, gp_lo_e, gp0))
-        nfev = i + jnp.where(done | ~have_lo, 0, 1)
+        nfev = i + jnp.where(done | ~have_lo, jnp.int32(0), jnp.int32(1))
         return a_out, f_out, gX_out, gp_out, nfev, ok
 
     # ---- init -----------------------------------------------------------
@@ -304,7 +307,7 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
     pg0 = tmax_abs(gX0, gp0)
     gn1_0 = jnp.sum(jnp.abs(gX0)) + jnp.sum(jnp.abs(gp0))
     done0 = pg0 <= pgtol
-    status0 = jnp.where(done0, CONV_GRAD, MAXITER).astype(jnp.int32)
+    status0 = jnp.where(done0, jnp.int32(CONV_GRAD), jnp.int32(MAXITER))
 
     # zero the history scratch (persistent VMEM is uninitialized)
     for k in range(m):
@@ -361,10 +364,10 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
         fail = ~ls_ok
         done_n = conv_g | conv_f | fail
         status_n = jnp.where(
-            conv_g, CONV_GRAD,
-            jnp.where(fail, LS_FAIL,
-                      jnp.where(conv_f, CONV_FTOL, MAXITER))).astype(
-            jnp.int32)
+            conv_g, jnp.int32(CONV_GRAD),
+            jnp.where(fail, jnp.int32(LS_FAIL),
+                      jnp.where(conv_f, jnp.int32(CONV_FTOL),
+                                jnp.int32(MAXITER))))
 
         dX_n, dp_n = direction(gX_new, gp_new, head_n, hlen_n)
         X_out = jnp.where(fail, X, X_new)
