@@ -90,7 +90,11 @@ def main():
           f"log_tau={log_tau}, log_g={log_g}, "
           f"source={'snapshot' if args.use_snapshot else 'final'}")
 
-    ests = np.stack([p_lin(xp[k, n_state_tot:]) for k in range(B)])
+    # params sit directly after the states; own-draw-prior saves carry
+    # the per-member anchor center as EXTRA trailing coords — never read
+    # beyond npar
+    ests = np.stack([p_lin(xp[k, n_state_tot:n_state_tot + len(Pidx)])
+                     for k in range(B)])
     rels = np.abs(ests - truth) / np.abs(truth)
     med = np.median(rels, axis=1) * 100
     mx = rels.max(axis=1) * 100

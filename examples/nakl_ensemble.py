@@ -136,6 +136,19 @@ def main():
                          "under-priced parameters; report MAP and "
                          "prior-free estimates together")
     ap.add_argument("--prior-w", type=float, default=0.25)
+    ap.add_argument("--prior-own-draw", action="store_true",
+                    help="with --param-prior: anchor EACH member's "
+                         "parameters to its OWN draw (per-member center "
+                         "carried as frozen extra coordinates via "
+                         "batched per-member bounds) instead of a shared "
+                         "center. Multi-start regularized annealing: "
+                         "counters the measured path drift (truth-seeded "
+                         "members expelled by rung 40 even at N=6001, "
+                         "PARITY.md) while keeping ensemble coverage — "
+                         "the member drawn nearest the truth basin is "
+                         "HELD there and wins on action at the record "
+                         "length where truth ranks first. Phase-2 polish "
+                         "is prior-free")
     ap.add_argument("--all-params", action="store_true")
     ap.add_argument("--fix-cm", action="store_true",
                     help="with --all-params: hold Cm at truth (the usual "
@@ -346,7 +359,7 @@ def main():
         # 1e-5·α^β overtakes it; the gate components anneal normally
         rf_min = np.array([args.clamp_v_rf, 0.0, 0.0, 0.0])
 
-    def make_problem(dtype):
+    def make_problem(dtype, own_draw=False):
         specs = [build_spec(model_f, 4, tk["V"].astype(dtype), tk["t"], [0],
                             1.0, disc="SimpsonHermite",
                             P=P_base, pidx=Pidx,
@@ -359,21 +372,63 @@ def main():
                                                  build_multi_bounds)
             action, parts = make_multi_action(specs)
             lo, hi = build_multi_bounds(specs, bounds, dtype)
-        if args.param_prior and args.seed_params:
-            # weak log-normal MAP prior centered on the screen's best
-            # estimate: holds UNDER-PRICED parameters in place during
-            # the ascent (the measured failure mode: they drift to box
-            # edges before the data prices them — PARITY.md), and is
-            # annealed AWAY relatively as rf climbs. Width = prior_w of
-            # each box width in estimation scale.
-            sd = np.load(args.seed_params)
-            ord_s = np.argsort(sd["A"][:, -1])
-            # center on the TOP POOL's per-parameter MEDIAN: a robust
-            # consensus — a single best-by-action member is typically a
-            # V-compensated basin (measured, PARITY.md), and the median
-            # across basins cancels their anti-correlated compensations
-            pool = sd["xp"][ord_s[: max(1, args.seed_top)], -len(Pidx):]
-            p0 = np.median(np.asarray(pool, np.float64), axis=0)
+        if args.param_prior and own_draw:
+            # per-member anchor: the center is carried INSIDE the
+            # decision vector as npar extra trailing coordinates, frozen
+            # by a degenerate per-member box (batched_bounds in the
+            # checkpointed ladder). The data action sees only the
+            # standard vector.
+            wdt = np.asarray([b[1] - b[0] for b in pbounds], np.float64)
+            lam = dtype(args.param_prior)
+            iw2 = jnp.asarray(1.0 / (args.prior_w * wdt) ** 2, dtype)
+            npar = len(Pidx)
+            base_action, base_parts = action, parts
+
+            def action_p(xp, rf):
+                dp_ = xp[-2 * npar:-npar] - xp[-npar:]
+                return (base_action(xp[:-npar], rf)
+                        + lam * jnp.sum(iw2 * dp_ * dp_))
+
+            def parts_p(xp, rf):
+                a, me, fe = base_parts(xp[:-npar], rf)
+                dp_ = xp[-2 * npar:-npar] - xp[-npar:]
+                pen = lam * jnp.sum(iw2 * dp_ * dp_)
+                return a + pen, me, fe
+
+            action, parts = action_p, parts_p
+            print(f"MAP prior: lambda={args.param_prior}, "
+                  f"width={args.prior_w} box-widths, center=own draw "
+                  "(per member)")
+        elif args.param_prior and (args.seed_params or args.seed_truth):
+            # weak log-normal MAP prior centered on the seed estimate:
+            # holds UNDER-PRICED parameters in place during the ascent
+            # (the measured failure mode: they drift to box edges before
+            # the data prices them — and the N=6001 truth-seeded probe
+            # shows the drift is record-length-independent, PARITY.md),
+            # and is annealed AWAY relatively as rf climbs. Width =
+            # prior_w of each box width in estimation scale.
+            if args.seed_truth:
+                # oracle control: anchor at the twin truth — measures
+                # whether a weak anchor HOLDS the truth basin through
+                # the rungs that otherwise expel it
+                p0 = np.asarray(NAKL_P_TRUE, np.float64)[Pidx].copy()
+                if log_loc:
+                    p0[log_loc] = np.log(p0[log_loc])
+            else:
+                sd = np.load(args.seed_params)
+                ord_s = np.argsort(sd["A"][:, -1])
+                # center on the TOP POOL's per-parameter MEDIAN: a
+                # robust consensus — a single best-by-action member is
+                # typically a V-compensated basin (measured, PARITY.md),
+                # and the median across basins cancels their
+                # anti-correlated compensations
+                np_ = len(Pidx)
+                sl = (slice(-2 * np_, -np_)
+                      if ("prior_own_draw" in sd
+                          and bool(sd["prior_own_draw"]))
+                      else slice(-np_, None))
+                pool = sd["xp"][ord_s[: max(1, args.seed_top)], sl]
+                p0 = np.median(np.asarray(pool, np.float64), axis=0)
             wdt = np.asarray([b[1] - b[0] for b in pbounds], np.float64)
             lam = dtype(args.param_prior)
             p0_d = jnp.asarray(p0, dtype)
@@ -395,11 +450,18 @@ def main():
 
             action, parts = action_p, parts_p
             print(f"MAP prior: lambda={args.param_prior}, "
-                  f"width={args.prior_w} box-widths, center=screen best")
+                  f"width={args.prior_w} box-widths, center="
+                  f"{'truth (oracle)' if args.seed_truth else 'screen best'}")
         return specs[0], action, parts, lo, hi
 
     p1_dtype = np.float64 if args.f64 else np.float32
-    spec, action, parts, lo, hi = make_problem(p1_dtype)
+    if args.load and "prior_own_draw" in saved:
+        # layout flag: the loaded xp carries per-member anchor centers
+        own = bool(saved["prior_own_draw"])
+    else:
+        own = bool(args.param_prior and args.prior_own_draw)
+    npar = len(Pidx)
+    spec, action, parts, lo, hi = make_problem(p1_dtype, own_draw=own)
     n_state_tot = K * spec.n_state
     reps = max(1, args.repeats)
     snap = args.snap_beta if args.snap_beta is not None else n_beta - 21
@@ -459,7 +521,11 @@ def main():
             n_par_s = len(Pidx)
             order_s = np.argsort(s_A[:, -1])
             top = max(1, args.seed_top)
-            seed_pool = s_xp[order_s[:top], -n_par_s:]
+            sl_s = (slice(-2 * n_par_s, -n_par_s)
+                    if ("prior_own_draw" in sd
+                        and bool(sd["prior_own_draw"]))
+                    else slice(-n_par_s, None))
+            seed_pool = s_xp[order_s[:top], sl_s]
             print(f"seeding parameter draws from {args.seed_params}: "
                   f"top {top} members (of {s_xp.shape[0]})")
         xp0s = []
@@ -493,8 +559,24 @@ def main():
                     gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
                              for g in gss]
                 blocks.append(np.column_stack([V_fk] + gates).ravel())
-            xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
+            tail = [pe, pe] if own else [pe]     # own-draw: params + anchor
+            xp0s.append(np.concatenate(blocks + tail).astype(p1_dtype))
         xp = jnp.asarray(np.stack(xp0s))
+        lo_run, hi_run = lo, hi
+        if own:
+            # per-member boxes: standard box for states+params, a
+            # degenerate δ-box freezing each member's anchor at its own
+            # draw (δ > 0 sidesteps lo==hi breakpoint pathologies; the
+            # anchor can wiggle ≤2e-5 box-widths)
+            wdt_np = np.asarray([b[1] - b[0] for b in pbounds],
+                                np.float64)
+            cen = np.stack([x[-npar:] for x in xp0s]).astype(np.float64)
+            lo_run = np.concatenate(
+                [np.tile(np.asarray(lo, np.float64), (B, 1)),
+                 cen - 1e-5 * wdt_np], axis=1).astype(p1_dtype)
+            hi_run = np.concatenate(
+                [np.tile(np.asarray(hi, np.float64), (B, 1)),
+                 cen + 1e-5 * wdt_np], axis=1).astype(p1_dtype)
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
@@ -508,14 +590,16 @@ def main():
                     f64=bool(args.f64),
                     clamp_v_rf=(args.clamp_v_rf or 0.0),
                     log_tau=bool(args.log_tau),
-                    log_g=bool(args.log_g))
+                    log_g=bool(args.log_g),
+                    prior_own_draw=own)
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
             jnp.asarray(rf0_arr), args.alpha,
             ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
-            save_every=args.chunk, lower=lo, upper=hi, opts=opts,
-            store_paths=False, batched=True, repeats=reps,
-            snapshot_beta=snap, meta=meta, verbose=True, rf_min=rf_min)
+            save_every=args.chunk, lower=lo_run, upper=hi_run, opts=opts,
+            store_paths=False, batched=True, batched_bounds=own,
+            repeats=reps, snapshot_beta=snap, meta=meta, verbose=True,
+            rf_min=rf_min)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
         xp_np = np.asarray(res.XP)
         A = np.asarray(res.A)                       # (B, n_beta) per rung
@@ -531,7 +615,9 @@ def main():
           "counts:", lv.counts[:5])
 
     def report(XPb, label):
-        p_est = p_linear(XPb[n_state_tot:])
+        # params sit directly after the states (own-draw saves carry the
+        # anchor centers as extra trailing coords — never read past npar)
+        p_est = p_linear(XPb[n_state_tot:n_state_tot + npar])
         print(f"{label} estimated vs truth:")
         for j, pi in enumerate(Pidx):
             tr = NAKL_P_TRUE[pi]
@@ -575,8 +661,11 @@ def main():
         1e-5 * rf_dir, (spec64.N_f - 1, 4)))
     pol_betas = np.arange(pol_lo, float(n_beta + 10))
     t1 = time.time()
+    src_p = src[picks]
+    if own:
+        src_p = src_p[:, :-npar]     # drop anchors: polish is prior-free
     res_pol = run_ladder_checkpointed(
-        action64, parts64, jnp.asarray(src[picks].astype(np.float64)),
+        action64, parts64, jnp.asarray(src_p.astype(np.float64)),
         pol_betas, jnp.asarray(rf0_64), args.alpha,
         ckpt_path=(stem + "_pol_ckpt.npz" if stem else None),
         save_every=max(args.chunk, 1), lower=lo64, upper=hi64,
@@ -602,7 +691,7 @@ def main():
         np.savez(out, XP=XPbest, member=kbest, A=Abest,
                  A_polished=np.asarray([r[0] for r in results]),
                  candidates=np.asarray([r[1] for r in results]),
-                 p_est=p_linear(XPbest[n_state_tot:]),
+                 p_est=p_linear(XPbest[n_state_tot:n_state_tot + npar]),
                  log_tau=bool(args.log_tau),
                  log_g=bool(args.log_g))
         print(f"saved polished estimate -> {out}")

@@ -151,6 +151,71 @@ def test_checkpoint_batched_ensemble_resume(tmp_path):
     np.testing.assert_array_equal(resumed.XP, full.XP)
 
 
+def test_batched_bounds_per_member(tmp_path):
+    """batched_bounds=True: each ensemble member is solved in ITS OWN box
+    (leading batch axis on lower/upper), matching per-member single-ladder
+    runs; resume stays bit-identical."""
+    from varanneal_tpu.anneal.ladder import run_ladder
+    rng = np.random.default_rng(0)
+    D, N_data = 6, 13
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    spec = build_spec(lorenz96, D, Y, t, [0, 2, 4], 4.0,
+                      disc="trapezoid", P=np.array([8.0]), pidx=[0])
+    action, parts = make_action(spec)
+    B = 3
+    xp0 = jnp.asarray(random_ensemble_inits(spec, B, seed=2),
+                      dtype=jnp.float64)
+    n_dof = xp0.shape[1]
+    # shared wide state box; a DIFFERENT parameter box per member, each
+    # placed so the bound binds differently (truth F = 8.0)
+    pboxes = [(7.5, 7.6), (8.2, 8.4), (6.0, 6.5)]
+    lo = np.full((B, n_dof), -30.0)
+    hi = np.full((B, n_dof), 30.0)
+    for b, (pl, ph) in enumerate(pboxes):
+        lo[b, -1], hi[b, -1] = pl, ph
+    xp0 = jnp.clip(xp0, lo, hi)
+    betas = np.arange(5.0)
+    opts = LBFGSOptions(maxiter=15, pgtol=1e-9)
+
+    res = run_ladder_checkpointed(
+        action, parts, xp0, betas, 1e-4, 1.7, resume=False,
+        ckpt_path=str(tmp_path / "pb.npz"), save_every=2, opts=opts,
+        store_paths=False, batched=True, batched_bounds=True,
+        lower=lo, upper=hi)
+    assert res.A.shape == (B, 5)
+    XP = np.asarray(res.XP)
+    for b, (pl, ph) in enumerate(pboxes):
+        assert pl - 1e-12 <= XP[b, -1] <= ph + 1e-12
+        # per-member single run with the same box must agree
+        single = run_ladder(action, parts, xp0[b], betas, 1e-4, 1.7,
+                            lower=jnp.asarray(lo[b]),
+                            upper=jnp.asarray(hi[b]), opts=opts,
+                            store_paths=False)
+        # vmapped and single lowerings differ at round-off and the
+        # nonconvex solve amplifies it — same basin, loose tolerance
+        np.testing.assert_allclose(XP[b], np.asarray(single.XP),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(res.A)[b],
+                                   np.asarray(single.A), rtol=1e-4)
+
+    # resume bit-identically mid-ladder under batched bounds
+    p2 = str(tmp_path / "pb2.npz")
+    kw = dict(save_every=2, opts=opts, store_paths=False, batched=True,
+              batched_bounds=True, lower=lo, upper=hi)
+    run_ladder_checkpointed(action, parts, xp0, betas[:4], 1e-4, 1.7,
+                            resume=False, ckpt_path=p2, **kw)
+    with np.load(p2) as z:
+        payload = {k: z[k] for k in z.files}
+    payload["n_beta"] = np.asarray(5)
+    payload["betas"] = betas
+    np.savez(p2, **payload)
+    resumed = run_ladder_checkpointed(action, parts, xp0, betas, 1e-4, 1.7,
+                                      resume=True, ckpt_path=p2, **kw)
+    np.testing.assert_array_equal(resumed.A, res.A)
+    np.testing.assert_array_equal(resumed.XP, res.XP)
+
+
 def test_repeats_aggregation_matches_expanded_ladder(tmp_path):
     """repeats=R must equal running the β sequence with every rung
     repeated R times (warm-started), with records aggregated per rung:

@@ -131,6 +131,7 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
                             resume: bool = True,
                             verbose: bool = False,
                             batched: bool = False,
+                            batched_bounds: bool = False,
                             repeats: int = 1,
                             snapshot_beta: Optional[int] = None,
                             meta: Optional[dict] = None,
@@ -146,7 +147,11 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
     and ``meta``); pass False to overwrite. ``XP0`` may be any pytree;
     ``batched=True`` treats the leading axis of every leaf as an ensemble
     batch and vmaps the ladder over it (records come back with shape
-    (B, Nβ)). ``repeats``/``snapshot_beta``/``meta``: see module
+    (B, Nβ)). ``batched_bounds=True`` (requires ``batched``) treats the
+    leading axis of ``lower``/``upper`` as the same ensemble batch —
+    PER-MEMBER boxes, vmapped alongside the decision vectors (use case:
+    per-member draw-anchored coordinates, member-jittered boxes).
+    ``repeats``/``snapshot_beta``/``meta``: see module
     docstring. Returns per-RUNG records; ``result.snapshot`` holds the
     snapshot decision tree (or None).
 
@@ -202,17 +207,36 @@ def run_ladder_checkpointed(action, action_parts, XP0, betas, rf0, alpha, *,
     # ragged tail + snapshot split)
     compiled = {}
 
+    if batched_bounds:
+        if not batched:
+            raise ValueError("batched_bounds requires batched=True")
+        if lower is None or upper is None:
+            raise ValueError("batched_bounds requires lower and upper")
+        lower = jnp.asarray(lower)
+        upper = jnp.asarray(upper)
+
     def run_chunk(xp, beta_chunk):
         n = len(beta_chunk)
         if n not in compiled:
-            def base(x, b):
-                return run_ladder(
-                    action, action_parts, x, b, rf0, alpha, lower=lower,
-                    upper=upper, opts=opts, store_paths=store_paths,
-                    **ladder_kwargs)
-            fn = jax.vmap(base, in_axes=(0, None)) if batched else base
+            if batched_bounds:
+                def base_b(x, b, lo_, hi_):
+                    return run_ladder(
+                        action, action_parts, x, b, rf0, alpha,
+                        lower=lo_, upper=hi_, opts=opts,
+                        store_paths=store_paths, **ladder_kwargs)
+                fn = jax.vmap(base_b, in_axes=(0, None, 0, 0))
+            else:
+                def base(x, b):
+                    return run_ladder(
+                        action, action_parts, x, b, rf0, alpha,
+                        lower=lower, upper=upper, opts=opts,
+                        store_paths=store_paths, **ladder_kwargs)
+                fn = jax.vmap(base, in_axes=(0, None)) if batched else base
             compiled[n] = jax.jit(fn)
-        return compiled[n](xp, jnp.asarray(beta_chunk, dtype))
+        cb = jnp.asarray(beta_chunk, dtype)
+        if batched_bounds:
+            return compiled[n](xp, cb, lower, upper)
+        return compiled[n](xp, cb)
 
     i = start
     while i < n_disp:
