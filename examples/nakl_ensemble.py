@@ -372,34 +372,8 @@ def main():
                                                  build_multi_bounds)
             action, parts = make_multi_action(specs)
             lo, hi = build_multi_bounds(specs, bounds, dtype)
-        if args.param_prior and own_draw:
-            # per-member anchor: the center is carried INSIDE the
-            # decision vector as npar extra trailing coordinates, frozen
-            # by a degenerate per-member box (batched_bounds in the
-            # checkpointed ladder). The data action sees only the
-            # standard vector.
-            wdt = np.asarray([b[1] - b[0] for b in pbounds], np.float64)
-            lam = dtype(args.param_prior)
-            iw2 = jnp.asarray(1.0 / (args.prior_w * wdt) ** 2, dtype)
-            npar = len(Pidx)
-            base_action, base_parts = action, parts
-
-            def action_p(xp, rf):
-                dp_ = xp[-2 * npar:-npar] - xp[-npar:]
-                return (base_action(xp[:-npar], rf)
-                        + lam * jnp.sum(iw2 * dp_ * dp_))
-
-            def parts_p(xp, rf):
-                a, me, fe = base_parts(xp[:-npar], rf)
-                dp_ = xp[-2 * npar:-npar] - xp[-npar:]
-                pen = lam * jnp.sum(iw2 * dp_ * dp_)
-                return a + pen, me, fe
-
-            action, parts = action_p, parts_p
-            print(f"MAP prior: lambda={args.param_prior}, "
-                  f"width={args.prior_w} box-widths, center=own draw "
-                  "(per member)")
-        elif args.param_prior and (args.seed_params or args.seed_truth):
+        if args.param_prior and (args.seed_params or args.seed_truth) \
+                and not own_draw:
             # weak log-normal MAP prior centered on the seed estimate:
             # holds UNDER-PRICED parameters in place during the ascent
             # (the measured failure mode: they drift to box edges before
@@ -559,24 +533,22 @@ def main():
                     gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
                              for g in gss]
                 blocks.append(np.column_stack([V_fk] + gates).ravel())
-            tail = [pe, pe] if own else [pe]     # own-draw: params + anchor
-            xp0s.append(np.concatenate(blocks + tail).astype(p1_dtype))
-        xp = jnp.asarray(np.stack(xp0s))
+            xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
+        xp_np0 = np.stack(xp0s)
         lo_run, hi_run = lo, hi
         if own:
-            # per-member boxes: standard box for states+params, a
-            # degenerate δ-box freezing each member's anchor at its own
-            # draw (δ > 0 sidesteps lo==hi breakpoint pathologies; the
-            # anchor can wiggle ≤2e-5 box-widths)
-            wdt_np = np.asarray([b[1] - b[0] for b in pbounds],
-                                np.float64)
-            cen = np.stack([x[-npar:] for x in xp0s]).astype(np.float64)
-            lo_run = np.concatenate(
-                [np.tile(np.asarray(lo, np.float64), (B, 1)),
-                 cen - 1e-5 * wdt_np], axis=1).astype(p1_dtype)
-            hi_run = np.concatenate(
-                [np.tile(np.asarray(hi, np.float64), (B, 1)),
-                 cen + 1e-5 * wdt_np], axis=1).astype(p1_dtype)
+            # library recipe: weak MAP prior anchoring each member's
+            # params to its OWN draw; centers travel as frozen extra
+            # coords, per-member boxes via batched_bounds
+            from varanneal_tpu.parallel import draw_anchored_problem
+            action, parts, xp_np0, lo_run, hi_run = draw_anchored_problem(
+                action, parts, xp_np0, np.asarray(lo), np.asarray(hi),
+                n_params=npar, weight=args.param_prior,
+                width=args.prior_w)
+            print(f"MAP prior: lambda={args.param_prior}, "
+                  f"width={args.prior_w} box-widths, center=own draw "
+                  "(per member)")
+        xp = jnp.asarray(xp_np0)
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
@@ -663,7 +635,8 @@ def main():
     t1 = time.time()
     src_p = src[picks]
     if own:
-        src_p = src_p[:, :-npar]     # drop anchors: polish is prior-free
+        from varanneal_tpu.parallel import strip_anchors
+        src_p = strip_anchors(src_p, npar)   # polish is prior-free
     res_pol = run_ladder_checkpointed(
         action64, parts64, jnp.asarray(src_p.astype(np.float64)),
         pol_betas, jnp.asarray(rf0_64), args.alpha,

@@ -115,3 +115,69 @@ def test_random_inits_custom_samplers():
     np.testing.assert_array_equal(
         xp0[:, spec.n_state:],
         np.arange(B * spec.n_par).reshape(B, spec.n_par))
+
+
+def test_draw_anchored_problem_semantics():
+    """draw_anchored_problem: penalty math, anchor freezing, and the
+    anchored ladder holding params near their draws where the free
+    ladder drifts to a bound."""
+    import jax.numpy as jnp
+    from varanneal_tpu.models import lorenz96
+    from varanneal_tpu.ops import build_spec, make_action
+    from varanneal_tpu.opt import LBFGSOptions
+    from varanneal_tpu.anneal.checkpoint import run_ladder_checkpointed
+    from varanneal_tpu.parallel import (draw_anchored_problem,
+                                        strip_anchors,
+                                        random_ensemble_inits)
+
+    rng = np.random.default_rng(0)
+    D, N_data = 6, 13
+    t = 0.025 * np.arange(N_data)
+    Y = rng.normal(size=(N_data, 3))
+    spec = build_spec(lorenz96, D, Y, t, [0, 2, 4], 4.0,
+                      disc="trapezoid", P=np.array([8.0]), pidx=[0])
+    action, parts = make_action(spec)
+    B = 3
+    xp0 = np.asarray(random_ensemble_inits(spec, B, seed=2), np.float64)
+    n_dof = xp0.shape[1]
+    lo = np.full(n_dof, -30.0); hi = np.full(n_dof, 30.0)
+    lo[-1], hi[-1] = 2.0, 14.0
+    draws = np.array([5.0, 9.5, 12.0])
+    xp0[:, -1] = draws
+
+    a2, p2, xp2, lo2, hi2 = draw_anchored_problem(
+        action, parts, xp0, lo, hi, n_params=1, weight=3.0, width=0.25)
+    assert xp2.shape == (B, n_dof + 1)
+    assert lo2.shape == hi2.shape == (B, n_dof + 1)
+
+    # penalty math: wrapped action == base action + lam*((dp)/(w*width))^2
+    xp_t = jnp.asarray(xp2[0]).at[-2].add(1.5)     # move param off anchor
+    base = float(action(jnp.asarray(xp2[0, :-1]).at[-1].add(1.5), 1.0))
+    wdt = 12.0
+    pen = 3.0 * (1.5 / (0.25 * wdt)) ** 2
+    np.testing.assert_allclose(float(a2(xp_t, 1.0)), base + pen,
+                               rtol=1e-12)
+    a_p, me_p, fe_p = (float(v) for v in p2(xp_t, 1.0))
+    np.testing.assert_allclose(a_p, base + pen, rtol=1e-12)
+
+    # anchored ladder: anchors stay frozen at the draws, params stay
+    # within the prior's reach of their OWN draw
+    opts = LBFGSOptions(maxiter=25, pgtol=1e-9)
+    res = run_ladder_checkpointed(
+        a2, p2, jnp.asarray(xp2), np.arange(4.0), 1e-4, 1.7,
+        lower=lo2, upper=hi2, opts=opts, store_paths=False,
+        batched=True, batched_bounds=True)
+    XP = np.asarray(res.XP)
+    anchors = XP[:, -1]
+    np.testing.assert_allclose(anchors, draws, atol=2e-4)   # frozen
+    # each member's param near its own draw (weight 3 holds at low rf)
+    assert np.all(np.abs(XP[:, -2] - draws) < 2.0)
+    # distinct per-member estimates prove per-member anchoring
+    assert np.all(np.diff(np.sort(XP[:, -2])) > 0.5)
+
+    # strip_anchors: standard layout back, matching the data part
+    stripped = strip_anchors(XP, 1)
+    assert stripped.shape == (B, n_dof)
+    v1 = float(action(jnp.asarray(stripped[0]), 1.0))
+    v2 = float(a2(jnp.asarray(XP[0]), 1.0))
+    assert v1 <= v2 + 1e-9                         # penalty is nonnegative

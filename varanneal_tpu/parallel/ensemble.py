@@ -115,3 +115,83 @@ def random_ensemble_inits(spec: ProblemSpec, n_members: int, seed: int = 0,
         parts.append(pe)
     return np.concatenate(parts, axis=1).astype(dtype) if len(parts) > 1 \
         else parts[0].astype(dtype)
+
+
+def draw_anchored_problem(action, action_parts, xp_batch, lower, upper, *,
+                          n_params: int, weight: float, width: float = 0.25,
+                          freeze_eps: float = 1e-5):
+    """Draw-anchored weak MAP prior: multi-start regularized annealing.
+
+    Wraps a (batched-over-members) annealing problem so each ensemble
+    member's trailing ``n_params`` parameter coordinates are softly
+    anchored to the member's OWN initial draw by a quadratic penalty
+    ``weight * sum(((p - p_draw) / (width * box_width))**2)`` (a
+    log-normal prior when the coordinate is estimated in log scale).
+
+    Measured motivation (PARITY.md round-3 campaign): the annealing path
+    drifts under-priced parameters to box edges long before the data
+    prices them — truth-seeded NaKL members are expelled from the truth
+    basin by rung 40 even at the record length where that basin ranks
+    FIRST on action. A weak per-draw anchor removes the drift while
+    keeping ensemble coverage: each member explores the basin nearest
+    its draw, and the action ranking (at an adequate record) selects the
+    truth basin. Follow with a prior-free polish from the snapshot
+    (``strip_anchors``).
+
+    The per-member anchor centers travel INSIDE the decision vector as
+    ``n_params`` extra trailing coordinates, frozen by a degenerate
+    per-member box (half-width ``freeze_eps`` of each parameter box) —
+    run the result through ``run_ladder_checkpointed(..., batched=True,
+    batched_bounds=True)`` or any solver honoring per-member bounds.
+
+    Args: ``xp_batch`` (B, n_dof) initial decision vectors with the
+    parameters as the trailing ``n_params`` coords; ``lower``/``upper``
+    flat (n_dof,) bounds in estimation scale. Returns
+    ``(action', parts', xp' (B, n_dof+n_params), lower' (B, ...),
+    upper' (B, ...))``.
+    """
+    xp_batch = np.asarray(xp_batch)
+    if xp_batch.ndim != 2:
+        raise ValueError(f"xp_batch must be (B, n_dof), got {xp_batch.shape}")
+    B, n_dof = xp_batch.shape
+    npar = int(n_params)
+    if not 0 < npar <= n_dof:
+        raise ValueError(f"n_params={npar} out of range for n_dof={n_dof}")
+    lo = np.asarray(lower, np.float64)
+    hi = np.asarray(upper, np.float64)
+    if lo.shape != (n_dof,) or hi.shape != (n_dof,):
+        raise ValueError("lower/upper must be flat (n_dof,) arrays")
+    wdt = hi[-npar:] - lo[-npar:]
+    if np.any(wdt <= 0):
+        raise ValueError("parameter bounds must have positive width")
+    dtype = xp_batch.dtype
+    cen = xp_batch[:, -npar:].astype(np.float64)
+    xp_ext = np.concatenate([xp_batch, cen.astype(dtype)], axis=1)
+    lo_ext = np.concatenate(
+        [np.tile(lo, (B, 1)), cen - freeze_eps * wdt], axis=1).astype(dtype)
+    hi_ext = np.concatenate(
+        [np.tile(hi, (B, 1)), cen + freeze_eps * wdt], axis=1).astype(dtype)
+
+    jdt = jnp.asarray(xp_batch).dtype
+    lam = jnp.asarray(weight, jdt)
+    iw2 = jnp.asarray(1.0 / (width * wdt) ** 2, jdt)
+
+    def _pen(xp):
+        dp = xp[-2 * npar:-npar] - xp[-npar:]
+        return lam * jnp.sum(iw2 * dp * dp)
+
+    def action_a(xp, rf):
+        return action(xp[:-npar], rf) + _pen(xp)
+
+    def parts_a(xp, rf):
+        a, me, fe = action_parts(xp[:-npar], rf)
+        return a + _pen(xp), me, fe
+
+    return action_a, parts_a, xp_ext, lo_ext, hi_ext
+
+
+def strip_anchors(xp, n_params: int):
+    """Drop the anchor-center coordinates added by
+    :func:`draw_anchored_problem` (last ``n_params`` of the trailing
+    axis) — use before a prior-free polish on the standard problem."""
+    return np.asarray(xp)[..., :-int(n_params)]
