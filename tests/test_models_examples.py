@@ -86,3 +86,45 @@ def test_colpitts_estimation_e2e():
     X = ann.minpaths_X[-1]
     rmse_unobs = np.sqrt(np.mean((X[:, 1] - tw["traj"][:, 1]) ** 2))
     assert rmse_unobs < 0.5 * tw["traj"][:, 1].std(), rmse_unobs
+
+
+def test_example_nakl_anchored_flow_runs(tmp_path):
+    """The flagship anchored-ensemble recipe end-to-end through the real
+    CLI: phase 1 with per-member own-draw MAP anchors (extended decision
+    vectors, per-member bounds), save, then the --load path strips the
+    anchors and runs the prior-free f64 polish. Mirrors the campaign
+    runners (.campaign/run_clampH.sh + run_clampG_polish.sh) at tiny
+    shapes."""
+    save = str(tmp_path / "anch.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    common = [sys.executable, "examples/nakl_ensemble.py"]
+    r = subprocess.run(
+        common + ["--all-params", "--fix-cm", "--ninit", "2",
+                  "--record-n", "301", "--nbeta", "2", "--log-tau",
+                  "--log-g", "--gates-own-ss", "--param-prior", "10",
+                  "--prior-own-draw", "--maxiter", "3", "--repeats", "1",
+                  "--chunk", "50", "--no-polish", "--save", save,
+                  "--seed", "1"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.getcwd())
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "center=own draw" in r.stdout
+    sd = np.load(save)
+    assert bool(sd["prior_own_draw"])
+    n_par = 18
+    # extended layout: anchor centers ride as trailing coords
+    assert sd["xp"].shape[1] > n_par
+    anchors = sd["xp"][:, -n_par:]
+    assert not np.allclose(anchors[0], anchors[1])   # per-member centers
+    r2 = subprocess.run(
+        common + ["--load", save, "--polish-top", "1",
+                  "--polish-maxiter", "3", "--polish-repeats", "1",
+                  "--chunk", "50"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.getcwd())
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "saved polished estimate" in r2.stdout
+    pol = np.load(save.replace(".npz", "_polished.npz"))
+    # polished estimate is back on the STANDARD layout (anchors stripped)
+    assert pol["XP"].shape[-1] == sd["xp"].shape[1] - n_par
+    assert pol["p_est"].shape == (n_par,)
