@@ -57,3 +57,12 @@ def test_checkpoint_with_lm_inner(tmp_path):
                checkpoint_path=str(tmp_path / "lm.npz"),
                checkpoint_every=2, resume=True)
     np.testing.assert_array_equal(ann.A_array, A_first)
+
+
+def test_reference_module_aliases():
+    """Reference import paths work: varanneal.va_ode/va_nnet -> here."""
+    from varanneal_tpu import va_ode, va_nnet
+    from varanneal_tpu.api import Annealer as A1
+    from varanneal_tpu.nnet import Annealer as A2
+    assert va_ode.Annealer is A1
+    assert va_nnet.Annealer is A2
