@@ -61,7 +61,11 @@ while true; do
   done
   wait "$PID"
   RC=$?
-  if grep -q "saved phase-1 state" "$LOG"; then
+  # completion = the save file exists and was written by THIS
+  # launch (the log is append-only across reruns of a TAG, so
+  # grepping it alone can false-positive on a stale line)
+  if [ -f "$SAVE" ] && [ "$(stat -c %Y "$SAVE")" -ge "$LAUNCH" ] \
+      && grep -q "saved phase-1 state" "$LOG"; then
     echo "$(date -u +%FT%TZ) $TAG phase 1 COMPLETE" >> "$LOG"
     touch "$DIR/${TAG}_DONE"
     break

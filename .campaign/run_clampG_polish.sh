@@ -53,7 +53,11 @@ while true; do
   done
   wait "$PID"
   RC=$?
-  if grep -q "saved polished estimate" "$LOG"; then
+  POL="${SAVE%.npz}_polished.npz"
+  # completion = the polished save exists and was written by THIS
+  # launch (append-only log can carry a stale completion line)
+  if [ -f "$POL" ] && [ "$(stat -c %Y "$POL")" -ge "$LAUNCH" ] \
+      && grep -q "saved polished estimate" "$LOG"; then
     echo "$(date -u +%FT%TZ) $TAG polish COMPLETE" >> "$LOG"
     touch "$DIR/${TAG}_polish_DONE"
     break

@@ -30,20 +30,20 @@ import argparse
 
 import numpy as np
 
+from varanneal_tpu.models import NAKL_P_TRUE as P_TRUE
+from varanneal_tpu.models import NAKL_PNAMES as PNAMES
+
 TAU_ALL = (9, 10, 13, 14, 17, 18)
 G_ALL = (1, 3, 5)
 
+# draw boxes: the example's campaign-defining constant (it has no
+# library home — examples/nakl_ensemble.py::PBOUNDS_ALL)
 PBOUNDS_ALL = [
     (0.5, 3.0), (50., 200.), (20., 80.), (5., 60.), (-100., -50.),
     (0.05, 1.0), (-75., -40.), (-60., -20.), (5., 30.), (0.05, 1.0),
     (0.1, 2.0), (-80., -40.), (-30., -5.), (0.1, 5.0), (1., 15.),
     (-75., -35.), (10., 50.), (0.1, 5.0), (1., 15.),
 ]
-P_TRUE = [1.0, 120.0, 50.0, 20.0, -77.0, 0.3, -54.4, -40.0, 15.0,
-          0.1, 0.4, -60.0, -15.0, 1.0, 7.0, -55.0, 30.0, 1.0, 5.0]
-PNAMES = ["Cm", "gNa", "ENa", "gK", "EK", "gL", "EL", "vm", "dvm",
-          "tm0", "tm1", "vh", "dvh", "th0", "th1", "vn", "dvn",
-          "tn0", "tn1"]
 
 
 def main():
@@ -58,8 +58,6 @@ def main():
     fix_cm = bool(d["fix_cm"]) if "fix_cm" in keys else True
     log_tau = bool(d["log_tau"]) if "log_tau" in keys else False
     log_g = bool(d["log_g"]) if "log_g" in keys else False
-    N = int(d["N"])
-    K = int(d["protocols"]) if "protocols" in keys else 1
     Pidx = list(range(1 if fix_cm else 0, 19))
     npar = len(Pidx)
     LOG_IDX = (TAU_ALL if log_tau else ()) + (G_ALL if log_g else ())
@@ -77,9 +75,11 @@ def main():
 
     xp = d["xp"]
     A = d["A"][:, -1]
-    n_state_tot = K * (2 * N - 1) * 4
+    # anchored layout invariant: [... states, npar params, npar anchors]
+    # — slice from the END (layout-independent; what the example itself
+    # does), never via a recomputed disc-specific state count
     draws = xp[:, -npar:].astype(np.float64)           # anchors = draws
-    ests = xp[:, n_state_tot:n_state_tot + npar].astype(np.float64)
+    ests = xp[:, -2 * npar:-npar].astype(np.float64)
 
     dn = np.abs(draws - tr) / wdt                      # (B, npar)
     d_inf = dn.max(axis=1)

@@ -181,3 +181,27 @@ def test_draw_anchored_problem_semantics():
     v1 = float(action(jnp.asarray(stripped[0]), 1.0))
     v2 = float(a2(jnp.asarray(XP[0]), 1.0))
     assert v1 <= v2 + 1e-9                         # penalty is nonnegative
+
+
+def test_draw_anchored_freeze_box_nondegenerate_f32():
+    """The per-member freeze box must stay non-degenerate after the
+    cast to the ensemble dtype: at |center| large relative to the box
+    width, cen +- eps*width rounds to cen in f32, which would
+    re-create the lo==hi breakpoint pathology in the bounded solver."""
+    from varanneal_tpu.parallel import draw_anchored_problem
+
+    def a(xp, rf):
+        return (xp ** 2).sum()
+
+    def p(xp, rf):
+        return (xp ** 2).sum(), 0.0, 0.0
+
+    xp = np.array([[0.0, 1000.0]], np.float32)
+    lo = np.array([-1.0, 999.5])
+    hi = np.array([1.0, 1000.5])
+    _, _, xp2, lo2, hi2 = draw_anchored_problem(
+        a, p, xp, lo, hi, n_params=1, weight=1.0)
+    assert lo2.dtype == np.float32 and hi2.dtype == np.float32
+    assert (hi2 > lo2).all()
+    # the anchor coordinate still brackets its center
+    assert lo2[0, -1] < xp2[0, -1] < hi2[0, -1]

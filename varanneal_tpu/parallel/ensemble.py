@@ -167,12 +167,22 @@ def draw_anchored_problem(action, action_parts, xp_batch, lower, upper, *,
     dtype = xp_batch.dtype
     cen = xp_batch[:, -npar:].astype(np.float64)
     xp_ext = np.concatenate([xp_batch, cen.astype(dtype)], axis=1)
+    # freeze box in the TARGET dtype: for |center| large relative to the
+    # box width, cen ± eps*wdt can round to cen itself (f32 ulp(cen) ≈
+    # 6e-8|cen|), re-creating the lo==hi breakpoint pathology the δ-box
+    # exists to avoid — widen each side to at least one representable
+    # step past the center
+    c_t = cen.astype(dtype)
+    lo_a = np.minimum(np.asarray(cen - freeze_eps * wdt, dtype),
+                      np.nextafter(c_t, np.asarray(-np.inf, dtype)))
+    hi_a = np.maximum(np.asarray(cen + freeze_eps * wdt, dtype),
+                      np.nextafter(c_t, np.asarray(np.inf, dtype)))
     lo_ext = np.concatenate(
-        [np.tile(lo, (B, 1)), cen - freeze_eps * wdt], axis=1).astype(dtype)
+        [np.tile(lo, (B, 1)).astype(dtype), lo_a], axis=1)
     hi_ext = np.concatenate(
-        [np.tile(hi, (B, 1)), cen + freeze_eps * wdt], axis=1).astype(dtype)
+        [np.tile(hi, (B, 1)).astype(dtype), hi_a], axis=1)
 
-    jdt = jnp.asarray(xp_batch).dtype
+    jdt = jax.dtypes.canonicalize_dtype(xp_batch.dtype)
     lam = jnp.asarray(weight, jdt)
     iw2 = jnp.asarray(1.0 / (width * wdt) ** 2, jdt)
 
