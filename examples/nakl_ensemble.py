@@ -240,6 +240,29 @@ def main():
                          "in LOG space — positive scale parameters; gL "
                          "pins at its linear lower bound in every "
                          "measured linear-box campaign")
+    ap.add_argument("--box-shrink", type=float, default=1.0,
+                    help="literature-style physiological prior: shrink "
+                         "each estimated KINETIC and REVERSAL "
+                         "parameter's box by this factor (in estimation "
+                         "scale) around an offset-jittered center near "
+                         "truth; the three conductances (and Cm) keep "
+                         "the WIDE box unless --box-shrink-all. The "
+                         "measured coverage analysis (PARITY.md round "
+                         "3) shows uniform draws from the wide 18-D box "
+                         "cannot reach the truth watershed; published "
+                         "all-parameter estimates constrain kinetics "
+                         "from voltage-clamp priors and Nernst "
+                         "reversals and estimate the CELL-SPECIFIC "
+                         "conductances — this flag measures exactly "
+                         "that workflow")
+    ap.add_argument("--box-shrink-all", action="store_true",
+                    help="apply --box-shrink to every estimated "
+                         "parameter (including the conductances)")
+    ap.add_argument("--box-offset", type=float, default=0.5,
+                    help="offset each shrunk box's center from truth by "
+                         "a uniform draw up to this fraction of the "
+                         "shrunk half-width, so truth is NOT centered "
+                         "in the prior box (reproducible from --seed)")
     args = ap.parse_args()
 
     import jax
@@ -286,6 +309,14 @@ def main():
         # a phase-1 state annealed in log space must be polished in it
         args.log_tau = bool(saved["log_tau"]) if "log_tau" in saved else False
         args.log_g = bool(saved["log_g"]) if "log_g" in saved else False
+        # ... and one annealed inside a tight prior box must be polished
+        # inside the SAME box (reproduced from the saved seed + meta)
+        args.box_shrink = (float(saved["box_shrink"])
+                           if "box_shrink" in saved else 1.0)
+        args.box_shrink_all = (bool(saved["box_shrink_all"])
+                               if "box_shrink_all" in saved else False)
+        args.box_offset = (float(saved["box_offset"])
+                           if "box_offset" in saved else 0.5)
     else:
         N = 751 if args.small else 3001
         if args.record_n is not None:
@@ -327,6 +358,35 @@ def main():
     if LOG_IDX:
         pbounds = [(np.log(b[0]), np.log(b[1])) if pi in LOG_IDX else b
                    for b, pi in zip(pbounds, Pidx)]
+    if args.box_shrink != 1.0:
+        # literature-style prior: kinetics known from voltage-clamp
+        # studies, reversals from Nernst — tight boxes around an
+        # offset-jittered center near truth; conductances are the
+        # cell-specific unknowns and keep the wide box (unless
+        # --box-shrink-all). Deterministic in --seed so the polish
+        # phase rebuilds the identical boxes from the saved meta.
+        S = float(args.box_shrink)
+        keep_wide = () if args.box_shrink_all else (0,) + G_ALL
+        p_tr = np.asarray(NAKL_P_TRUE, np.float64)[Pidx].copy()
+        if log_loc:
+            p_tr[log_loc] = np.log(p_tr[log_loc])
+        rng_box = np.random.default_rng(seed + 777)
+        off = rng_box.uniform(-args.box_offset, args.box_offset,
+                              len(Pidx))
+        shr = []
+        for j, (pi, (b0, b1), c) in enumerate(zip(Pidx, pbounds, p_tr)):
+            if pi in keep_wide:
+                shr.append((b0, b1))
+                continue
+            w = (b1 - b0) / (2.0 * S)
+            c = c + off[j] * w
+            shr.append((max(b0, c - w), min(b1, c + w)))
+        pbounds = shr
+        n_wide = sum(1 for pi in Pidx if pi in keep_wide)
+        print(f"TIGHT-BOX PRIOR: boxes shrunk x{S} around offset-"
+              f"jittered truth (offset <= {args.box_offset} "
+              f"half-widths; {n_wide} parameter(s) kept WIDE"
+              f"{'' if args.box_shrink_all else ': Cm+conductances'})")
     bounds = STATE_BOUNDS + pbounds
 
     P_base = np.asarray(NAKL_P_TRUE, dtype=np.float64)
@@ -563,6 +623,9 @@ def main():
                     clamp_v_rf=(args.clamp_v_rf or 0.0),
                     log_tau=bool(args.log_tau),
                     log_g=bool(args.log_g),
+                    box_shrink=float(args.box_shrink),
+                    box_shrink_all=bool(args.box_shrink_all),
+                    box_offset=float(args.box_offset),
                     prior_own_draw=own)
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),

@@ -128,3 +128,61 @@ def test_example_nakl_anchored_flow_runs(tmp_path):
     # polished estimate is back on the STANDARD layout (anchors stripped)
     assert pol["XP"].shape[-1] == sd["xp"].shape[1] - n_par
     assert pol["p_est"].shape == (n_par,)
+
+
+def test_example_nakl_tight_box_prior(tmp_path):
+    """--box-shrink: the literature-style physiological prior — kinetic
+    and reversal boxes shrink around an offset-jittered center near
+    truth, conductances keep the wide box, and the polish phase rebuilds
+    the identical boxes from the saved meta. Mirrors the tightbox
+    campaign at tiny shapes."""
+    from varanneal_tpu.models import NAKL_P_TRUE
+    save = str(tmp_path / "tight.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    common = [sys.executable, "examples/nakl_ensemble.py"]
+    r = subprocess.run(
+        common + ["--all-params", "--fix-cm", "--ninit", "2",
+                  "--record-n", "301", "--nbeta", "2", "--log-tau",
+                  "--log-g", "--gates-own-ss", "--param-prior", "10",
+                  "--prior-own-draw", "--box-shrink", "6",
+                  "--maxiter", "3", "--repeats", "1", "--chunk", "50",
+                  "--no-polish", "--save", save, "--seed", "1"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.getcwd())
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "TIGHT-BOX PRIOR" in r.stdout
+    sd = np.load(save)
+    assert float(sd["box_shrink"]) == 6.0
+    n_par = 18
+    # own-draw layout: the trailing coords are the DRAWS themselves.
+    # Pidx = 1..18; conductances gNa/gK/gL sit at positions 0/2/4 and
+    # must span the WIDE box, kinetics must sit inside the shrunk box
+    # (center within 0.5 half-widths of truth => within (1+0.5)/(2*6)
+    # of a wide-box width from truth in estimation scale).
+    draws = sd["xp"][:, -n_par:].astype(np.float64)
+    sys.path.insert(0, os.path.join(os.getcwd(), "examples"))
+    try:
+        from nakl_ensemble import PBOUNDS_ALL
+    finally:
+        sys.path.pop(0)
+    wide = [PBOUNDS_ALL[j] for j in range(1, 19)]
+    log_idx_full = {9, 10, 13, 14, 17, 18, 1, 3, 5}
+    for col, pj in enumerate(range(1, 19)):
+        b0, b1 = wide[col]
+        tr = NAKL_P_TRUE[pj]
+        if pj in log_idx_full:
+            b0, b1, tr = np.log(b0), np.log(b1), np.log(tr)
+        d = np.abs(draws[:, col] - tr) / (b1 - b0)
+        if pj in (1, 3, 5):          # conductances: wide box kept
+            continue
+        assert np.all(d <= 1.5 / (2 * 6) + 1e-9), (pj, d)
+    # the --load path reconstructs the same boxes (meta-driven)
+    r2 = subprocess.run(
+        common + ["--load", save, "--polish-top", "1",
+                  "--polish-maxiter", "3", "--polish-repeats", "1",
+                  "--chunk", "50"],
+        capture_output=True, text=True, env=env, timeout=900,
+        cwd=os.getcwd())
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "TIGHT-BOX PRIOR" in r2.stdout
+    assert "saved polished estimate" in r2.stdout
