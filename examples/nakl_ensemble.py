@@ -728,6 +728,12 @@ def main():
                  A_polished=np.asarray([r[0] for r in results]),
                  candidates=np.asarray([r[1] for r in results]),
                  p_est=p_linear(XPbest[n_state_tot:n_state_tot + npar]),
+                 # per-member params in action order (for cross-campaign
+                 # ordering tables: action + kinetics of EVERY polished
+                 # member, not just the winner)
+                 p_all=np.stack(
+                     [p_linear(r[2][n_state_tot:n_state_tot + npar])
+                      for r in results]),
                  log_tau=bool(args.log_tau),
                  log_g=bool(args.log_g))
         print(f"saved polished estimate -> {out}")
