@@ -11,12 +11,17 @@ TAG=${TAG:-clampG}
 POLISH_TOP=${POLISH_TOP:-8}
 POLISH_MAXITER=${POLISH_MAXITER:-100}
 POLISH_REPEATS=${POLISH_REPEATS:-10}
-STALE=${STALE:-900}
+STALE=${STALE:-2700}
 mkdir -p "$DIR"
 LOG=$DIR/${TAG}_polish.log
 SAVE=$DIR/$TAG.npz
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
+# persistent XLA compilation cache (measured on this backend:
+# 166 s -> 1.5 s second-process compile; the f64 polish program
+# takes >16 min to compile on a 1-core box, so crash-relaunches
+# are otherwise dominated by recompiles)
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
 
 probe_tpu() {
   timeout 600 python -c "
