@@ -1,4 +1,4 @@
-"""Coverage diagnostic for own-draw-anchored NaKL campaign saves.
+"""Coverage / hit-rate diagnostic for own-draw-anchored NaKL saves.
 
 The anchor centers stored in an `--prior-own-draw` save ARE the
 members' initial parameter draws (frozen by the degenerate per-member
@@ -8,17 +8,23 @@ COVERAGE failure mode isolated in PARITY.md's round-3 campaign: how
 far (in box-width-normalized estimation-scale coordinates) was each
 member's draw from the twin truth, and what did it converge to?
 
-Usage: python benchmarks/nakl_coverage.py /tmp/nakl_r3/clampH.npz
+It understands both draw priors the campaign used:
+- the wide uniform box (clampH: min d_inf 0.32 wide-box-widths vs the
+  anchored oracle's demonstrated retention radius ~0.07 — uniform
+  draws cannot cover 18-D), and
+- the tight physiological prior (`--box-shrink`, tightbox16/64):
+  boxes reconstructed from the saved meta via
+  `models.nakl_param_boxes`, the same deterministic builder the
+  example uses, so distances are reported in BOTH draw-box and
+  wide-box units.
 
-Prints a per-member table sorted by draw distance (d_inf = worst
-single coordinate; d_med = median coordinate) against the member's
-final median parameter error and action rank, plus the ensemble
-minimum draw distance — the measured reach a fresh-draw ensemble of
-this size achieves into the 18-dimensional box. Compare with the
-anchored oracle probe (probeT7: draws jittered 0.03 box-widths from
-truth, d_inf ≈ 0.07, ALL retained): the gap between min(d_inf) and
-the retention radius is the coverage shortfall that sets the required
-ensemble size.
+The hit-rate summary (fraction of members whose final median
+parameter error beats a threshold, default 15 %) is the statistic the
+tight-box campaigns measure: what fraction of fresh draws from the
+prior reach and hold the truth watershed.
+
+Usage: python benchmarks/nakl_coverage.py /tmp/nakl_r3/clampH.npz
+       python benchmarks/nakl_coverage.py /tmp/nakl_r3/tightbox64.npz
 
 Reference context: the reference's ensemble practice is user-managed
 multiprocessing over inits (SURVEY.md §2 `adolcID`); this framework
@@ -32,46 +38,48 @@ import numpy as np
 
 from varanneal_tpu.models import NAKL_P_TRUE as P_TRUE
 from varanneal_tpu.models import NAKL_PNAMES as PNAMES
-
-TAU_ALL = (9, 10, 13, 14, 17, 18)
-G_ALL = (1, 3, 5)
-
-# draw boxes: the example's campaign-defining constant (it has no
-# library home — examples/nakl_ensemble.py::PBOUNDS_ALL)
-PBOUNDS_ALL = [
-    (0.5, 3.0), (50., 200.), (20., 80.), (5., 60.), (-100., -50.),
-    (0.05, 1.0), (-75., -40.), (-60., -20.), (5., 30.), (0.05, 1.0),
-    (0.1, 2.0), (-80., -40.), (-30., -5.), (0.1, 5.0), (1., 15.),
-    (-75., -35.), (10., 50.), (0.1, 5.0), (1., 15.),
-]
+from varanneal_tpu.models import NAKL_PBOUNDS, nakl_param_boxes
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("save")
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--hit-thresh", type=float, default=15.0,
+                    help="median-relative-error %% below which a "
+                         "member counts as a truth-watershed hit")
     args = ap.parse_args()
     d = np.load(args.save)
     keys = set(d.keys())
     assert "prior_own_draw" in keys and bool(d["prior_own_draw"]), \
         "not an own-draw-anchored save (no draw record to analyze)"
-    fix_cm = bool(d["fix_cm"]) if "fix_cm" in keys else True
-    log_tau = bool(d["log_tau"]) if "log_tau" in keys else False
-    log_g = bool(d["log_g"]) if "log_g" in keys else False
+
+    def meta(name, default):
+        return d[name][()] if name in keys else default
+
+    fix_cm = bool(meta("fix_cm", True))
+    log_tau = bool(meta("log_tau", False))
+    log_g = bool(meta("log_g", False))
+    box_shrink = float(meta("box_shrink", 1.0))
+    box_offset = float(meta("box_offset", 0.5))
+    box_shrink_all = bool(meta("box_shrink_all", False))
+    seed = int(meta("seed", 0))
     Pidx = list(range(1 if fix_cm else 0, 19))
     npar = len(Pidx)
-    LOG_IDX = (TAU_ALL if log_tau else ()) + (G_ALL if log_g else ())
 
-    # estimation-scale truth / bounds per estimated parameter
-    tr, lo, hi = [], [], []
-    for pi in Pidx:
-        b0, b1 = PBOUNDS_ALL[pi]
-        t = P_TRUE[pi]
-        if pi in LOG_IDX:
-            b0, b1, t = np.log(b0), np.log(b1), np.log(t)
-        tr.append(t), lo.append(b0), hi.append(b1)
-    tr = np.asarray(tr)
-    wdt = np.asarray(hi) - np.asarray(lo)
+    # the DRAW boxes (the actual prior, incl. any tight-box shrink) and
+    # the WIDE boxes (the cross-campaign distance unit), both on the
+    # estimation scale, from the same deterministic library builder the
+    # example used at campaign time
+    draw_bounds, LOG_IDX = nakl_param_boxes(
+        Pidx, log_tau=log_tau, log_g=log_g, box_shrink=box_shrink,
+        box_offset=box_offset, box_shrink_all=box_shrink_all, seed=seed)
+    wide_bounds, _ = nakl_param_boxes(Pidx, log_tau=log_tau, log_g=log_g)
+
+    tr = np.asarray([np.log(P_TRUE[pi]) if pi in LOG_IDX else P_TRUE[pi]
+                     for pi in Pidx])
+    w_wide = np.asarray([b1 - b0 for b0, b1 in wide_bounds])
+    w_draw = np.asarray([b1 - b0 for b0, b1 in draw_bounds])
 
     xp = d["xp"]
     A = d["A"][:, -1]
@@ -81,7 +89,7 @@ def main():
     draws = xp[:, -npar:].astype(np.float64)           # anchors = draws
     ests = xp[:, -2 * npar:-npar].astype(np.float64)
 
-    dn = np.abs(draws - tr) / wdt                      # (B, npar)
+    dn = np.abs(draws - tr) / w_wide                   # (B, npar), wide
     d_inf = dn.max(axis=1)
     d_med = np.median(dn, axis=1)
 
@@ -97,9 +105,16 @@ def main():
     order = np.argsort(d_inf)
     B = xp.shape[0]
     print(f"{args.save}: B={B}, npar={npar}, log_tau={log_tau}, "
-          f"log_g={log_g}")
+          f"log_g={log_g}, box_shrink={box_shrink}")
+    if box_shrink != 1.0:
+        shrunk = [j for j in range(npar)
+                  if w_draw[j] < w_wide[j] - 1e-12]
+        print(f"tight-box prior: {len(shrunk)}/{npar} boxes shrunk "
+              f"x{box_shrink} (draw-box width = "
+              f"{np.median(w_draw[shrunk] / w_wide[shrunk]):.3f} "
+              f"wide-box widths, median over shrunk coords)")
     print(f"closest {args.top} draws to truth "
-          f"(d in box-widths, estimation scale):")
+          f"(d in WIDE-box widths, estimation scale):")
     print("  member  d_inf  d_med   worst-coord      "
           "final med err   A rank")
     for k in order[: args.top]:
@@ -121,6 +136,20 @@ def main():
               f"{best_per_coord[j]:.3f} box-widths from truth")
     r = np.corrcoef(d_med, med_err)[0, 1]
     print(f"corr(median draw distance, final median error) = {r:+.2f}")
+
+    # --- hit-rate: the tight-box campaign's closing statistic --------
+    hits = med_err < args.hit_thresh
+    q = np.percentile(med_err, [25, 50, 75])
+    print(f"hit rate (final med err < {args.hit_thresh:g}%): "
+          f"{int(hits.sum())}/{B} = {100.0 * hits.mean():.0f}%")
+    print(f"final med-err quartiles: {q[0]:.1f}% / {q[1]:.1f}% / "
+          f"{q[2]:.1f}%  (min {med_err.min():.1f}%, "
+          f"max {med_err.max():.1f}%)")
+    if hits.any():
+        worst_hit_d = d_med[hits].max()
+        print(f"widest-draw hit: d_med = {worst_hit_d:.3f} wide-box "
+              f"widths (measured reach of the prior+anchor+ladder "
+              f"pipeline)")
 
 
 if __name__ == "__main__":

@@ -47,29 +47,9 @@ import time
 
 import numpy as np
 
-# Wide per-parameter bounds for the full 19-parameter estimation
-# (order = NAKL_PNAMES; truth well inside every box).
-PBOUNDS_ALL = [
-    (0.5, 3.0),      # Cm
-    (50., 200.),     # gNa
-    (20., 80.),      # ENa
-    (5., 60.),       # gK
-    (-100., -50.),   # EK
-    (0.05, 1.0),     # gL
-    (-75., -40.),    # EL
-    (-60., -20.),    # vm
-    (5., 30.),       # dvm
-    (0.05, 1.0),     # tm0
-    (0.1, 2.0),      # tm1
-    (-80., -40.),    # vh
-    (-30., -5.),     # dvh
-    (0.1, 5.0),      # th0
-    (1., 15.),       # th1
-    (-75., -35.),    # vn
-    (10., 50.),      # dvn
-    (0.1, 5.0),      # tn0
-    (1., 15.),       # tn1
-]
+# Estimation boxes live in the library now (the measured round-3 recipe
+# promoted them): varanneal_tpu.models.NAKL_PBOUNDS / NAKL_STATE_BOUNDS
+# / nakl_param_boxes (wide boxes, log-space groups, tight-box prior).
 STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
 
 
@@ -342,50 +322,29 @@ def main():
         args.fix_cm = bool(saved["fix_cm"])
     Pidx = (list(range(1 if args.fix_cm else 0, 19)) if all_params
             else [1, 2, 3, 4, 5])
-    pbounds = [PBOUNDS_ALL[j] for j in Pidx]
-
-    # --log-tau / --log-g: the decision vector carries log(p) for the six
-    # gate timescales and/or the three conductances (all positive SCALE
-    # parameters); the model wrapper exponentiates, bounds/draws go log.
-    # Measured motivation: every linear-box campaign pins some of
-    # tm0/tn0 (timescales) and gL (conductance) at a box edge while the
-    # rung prices them ~4 decades of RF late (PARITY.md round-3).
-    TAU_ALL = (9, 10, 13, 14, 17, 18)
-    G_ALL = (1, 3, 5)                      # gNa, gK, gL
-    LOG_IDX = tuple((TAU_ALL if args.log_tau else ())
-                    + (G_ALL if args.log_g else ()))
+    # Estimation-scale boxes from the library (models.nakl_param_boxes):
+    # --log-tau / --log-g put the six gate timescales / three
+    # conductances in log space (measured motivation: every linear-box
+    # campaign pins some of tm0/tn0 and gL at a box edge while the rung
+    # prices them ~4 decades of RF late — PARITY.md round-3);
+    # --box-shrink builds the literature-style physiological prior
+    # (tight offset-jittered kinetics/reversal boxes, wide
+    # conductances), deterministic in --seed so the polish phase
+    # rebuilds the identical boxes from the saved meta.
+    from varanneal_tpu.models import nakl_param_boxes, NAKL_G_IDX
+    pbounds, LOG_IDX = nakl_param_boxes(
+        Pidx, log_tau=args.log_tau, log_g=args.log_g,
+        box_shrink=args.box_shrink, box_offset=args.box_offset,
+        box_shrink_all=args.box_shrink_all, seed=seed)
     log_loc = [j for j, pi in enumerate(Pidx) if pi in LOG_IDX]
-    if LOG_IDX:
-        pbounds = [(np.log(b[0]), np.log(b[1])) if pi in LOG_IDX else b
-                   for b, pi in zip(pbounds, Pidx)]
+    G_ALL = NAKL_G_IDX
     if args.box_shrink != 1.0:
-        # literature-style prior: kinetics known from voltage-clamp
-        # studies, reversals from Nernst — tight boxes around an
-        # offset-jittered center near truth; conductances are the
-        # cell-specific unknowns and keep the wide box (unless
-        # --box-shrink-all). Deterministic in --seed so the polish
-        # phase rebuilds the identical boxes from the saved meta.
-        S = float(args.box_shrink)
         keep_wide = () if args.box_shrink_all else (0,) + G_ALL
-        p_tr = np.asarray(NAKL_P_TRUE, np.float64)[Pidx].copy()
-        if log_loc:
-            p_tr[log_loc] = np.log(p_tr[log_loc])
-        rng_box = np.random.default_rng(seed + 777)
-        off = rng_box.uniform(-args.box_offset, args.box_offset,
-                              len(Pidx))
-        shr = []
-        for j, (pi, (b0, b1), c) in enumerate(zip(Pidx, pbounds, p_tr)):
-            if pi in keep_wide:
-                shr.append((b0, b1))
-                continue
-            w = (b1 - b0) / (2.0 * S)
-            c = c + off[j] * w
-            shr.append((max(b0, c - w), min(b1, c + w)))
-        pbounds = shr
         n_wide = sum(1 for pi in Pidx if pi in keep_wide)
-        print(f"TIGHT-BOX PRIOR: boxes shrunk x{S} around offset-"
-              f"jittered truth (offset <= {args.box_offset} "
-              f"half-widths; {n_wide} parameter(s) kept WIDE"
+        print(f"TIGHT-BOX PRIOR: boxes shrunk x{float(args.box_shrink)} "
+              f"around offset-jittered truth (offset <= "
+              f"{args.box_offset} half-widths; {n_wide} parameter(s) "
+              f"kept WIDE"
               f"{'' if args.box_shrink_all else ': Cm+conductances'})")
     bounds = STATE_BOUNDS + pbounds
 

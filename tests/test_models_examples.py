@@ -160,12 +160,8 @@ def test_example_nakl_tight_box_prior(tmp_path):
     # (center within 0.5 half-widths of truth => within (1+0.5)/(2*6)
     # of a wide-box width from truth in estimation scale).
     draws = sd["xp"][:, -n_par:].astype(np.float64)
-    sys.path.insert(0, os.path.join(os.getcwd(), "examples"))
-    try:
-        from nakl_ensemble import PBOUNDS_ALL
-    finally:
-        sys.path.pop(0)
-    wide = [PBOUNDS_ALL[j] for j in range(1, 19)]
+    from varanneal_tpu.models import NAKL_PBOUNDS
+    wide = [NAKL_PBOUNDS[j] for j in range(1, 19)]
     log_idx_full = {9, 10, 13, 14, 17, 18, 1, 3, 5}
     for col, pj in enumerate(range(1, 19)):
         b0, b1 = wide[col]
@@ -186,3 +182,71 @@ def test_example_nakl_tight_box_prior(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "TIGHT-BOX PRIOR" in r2.stdout
     assert "saved polished estimate" in r2.stdout
+
+
+def test_nakl_param_boxes_library():
+    """nakl_param_boxes: the library home of the campaign boxes
+    (wide, log-space groups, tight physiological prior) — properties
+    plus bit-consistency with an archived real campaign
+    (.campaign/data/tightbox16_facts.npz, whose saved draws were made
+    inside the boxes the example built at campaign time)."""
+    from varanneal_tpu.models import (
+        nakl_param_boxes, NAKL_PBOUNDS, NAKL_P_TRUE, NAKL_TAU_IDX,
+        NAKL_G_IDX)
+
+    Pidx = list(range(1, 19))
+
+    # wide, linear: exactly the module constants, no log indices
+    pb, li = nakl_param_boxes(Pidx)
+    assert li == ()
+    assert pb == [NAKL_PBOUNDS[j] for j in Pidx]
+
+    # log flags: the six timescales + three conductances go log-scale,
+    # truth strictly inside every box either way
+    pb, li = nakl_param_boxes(Pidx, log_tau=True, log_g=True)
+    assert set(li) == set(NAKL_TAU_IDX) | set(NAKL_G_IDX)
+    for (b0, b1), pi in zip(pb, Pidx):
+        t = np.log(NAKL_P_TRUE[pi]) if pi in li else NAKL_P_TRUE[pi]
+        assert b0 < t < b1, (pi, b0, t, b1)
+
+    # tight-box prior: deterministic in seed, truth inside every box,
+    # kept-wide coords untouched, shrunk widths <= wide/S
+    S = 6.0
+    pb1, li = nakl_param_boxes(Pidx, log_tau=True, log_g=True,
+                               box_shrink=S, seed=3)
+    pb2, _ = nakl_param_boxes(Pidx, log_tau=True, log_g=True,
+                              box_shrink=S, seed=3)
+    pb3, _ = nakl_param_boxes(Pidx, log_tau=True, log_g=True,
+                              box_shrink=S, seed=4)
+    assert pb1 == pb2 and pb1 != pb3
+    wide, _ = nakl_param_boxes(Pidx, log_tau=True, log_g=True)
+    for (b0, b1), (w0, w1), pi in zip(pb1, wide, Pidx):
+        t = np.log(NAKL_P_TRUE[pi]) if pi in li else NAKL_P_TRUE[pi]
+        assert w0 <= b0 < t < b1 <= w1, (pi, b0, t, b1)
+        if pi in NAKL_G_IDX:
+            assert (b0, b1) == (w0, w1)      # conductances stay wide
+        else:
+            assert (b1 - b0) <= (w1 - w0) / S + 1e-12
+
+    # box_shrink_all shrinks the conductances too
+    pba, _ = nakl_param_boxes(Pidx, log_tau=True, log_g=True,
+                              box_shrink=S, box_shrink_all=True, seed=3)
+    for (b0, b1), (w0, w1), pi in zip(pba, wide, Pidx):
+        assert (b1 - b0) <= (w1 - w0) / S + 1e-12
+
+    # archived-campaign consistency: every draw of the real tightbox16
+    # run lies inside the boxes reconstructed from its saved meta
+    facts = os.path.join(os.getcwd(), ".campaign", "data",
+                         "tightbox16_facts.npz")
+    if os.path.exists(facts):
+        d = np.load(facts)
+        pb, _ = nakl_param_boxes(
+            Pidx, log_tau=bool(d["log_tau"]), log_g=bool(d["log_g"]),
+            box_shrink=float(d["box_shrink"]),
+            box_offset=float(d["box_offset"]),
+            box_shrink_all=bool(d["box_shrink_all"]),
+            seed=int(d["seed"]))
+        lo = np.asarray([b[0] for b in pb])
+        hi = np.asarray([b[1] for b in pb])
+        draws = d["draws"].astype(np.float64)
+        assert np.all(draws >= lo - 1e-9) and np.all(draws <= hi + 1e-9)

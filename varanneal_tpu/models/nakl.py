@@ -23,6 +23,7 @@ reference's driven-system convention (SURVEY.md §2 "stimulus").
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 NAKL_PNAMES = (
     "Cm", "gNa", "ENa", "gK", "EK", "gL", "EL",
@@ -38,6 +39,91 @@ NAKL_P_TRUE = (
     -60.0, -15.0, 1.0, 7.0,
     -55.0, 30.0, 1.0, 5.0,
 )
+
+
+# Wide per-parameter estimation boxes for the full 19-parameter twin
+# experiment (order = NAKL_PNAMES; truth well inside every box). These
+# are the campaign-defining constants of the round-3 18-parameter study
+# (PARITY.md): the reference leaves bounds to the driving script
+# (SURVEY.md §2 "bounds"), but the measured recipe made them part of the
+# supported workflow, so they live here rather than in an example.
+NAKL_PBOUNDS = (
+    (0.5, 3.0),      # Cm
+    (50., 200.),     # gNa
+    (20., 80.),      # ENa
+    (5., 60.),       # gK
+    (-100., -50.),   # EK
+    (0.05, 1.0),     # gL
+    (-75., -40.),    # EL
+    (-60., -20.),    # vm
+    (5., 30.),       # dvm
+    (0.05, 1.0),     # tm0
+    (0.1, 2.0),      # tm1
+    (-80., -40.),    # vh
+    (-30., -5.),     # dvh
+    (0.1, 5.0),      # th0
+    (1., 15.),       # th1
+    (-75., -35.),    # vn
+    (10., 50.),      # dvn
+    (0.1, 5.0),      # tn0
+    (1., 15.),       # tn1
+)
+
+# Index groups (into NAKL_PNAMES) for log-space estimation: the six gate
+# timescales and the three conductances — all positive scale parameters.
+NAKL_TAU_IDX = (9, 10, 13, 14, 17, 18)
+NAKL_G_IDX = (1, 3, 5)                      # gNa, gK, gL
+
+NAKL_STATE_BOUNDS = ((-150., 70.), (0., 1.), (0., 1.), (0., 1.))
+
+
+def nakl_param_boxes(p_idx, *, log_tau=False, log_g=False,
+                     box_shrink=1.0, box_offset=0.5,
+                     box_shrink_all=False, seed=0):
+    """Estimation-scale parameter boxes for the NaKL twin experiment.
+
+    Returns ``(pbounds, log_idx)``: a list of ``(lo, hi)`` bounds, one
+    per entry of ``p_idx`` (indices into ``NAKL_PNAMES``), on the scale
+    the decision vector carries (log for timescales/conductances when
+    ``log_tau``/``log_g``), and the tuple of ``NAKL_PNAMES`` indices
+    estimated in log space.
+
+    ``box_shrink > 1`` builds the literature-style physiological prior
+    measured in PARITY.md's round-3 campaign: kinetics and reversals are
+    known to voltage-clamp / Nernst accuracy, so their boxes shrink by
+    that factor around an offset-jittered center near truth (the jitter,
+    up to ``box_offset`` half-widths, keeps the centers honest — they
+    are NOT truth), while Cm and the cell-specific conductances keep the
+    wide box (unless ``box_shrink_all``). Deterministic in ``seed``
+    (offsets from ``default_rng(seed + 777)``) so a polish phase
+    rebuilds the identical boxes from saved campaign metadata.
+    """
+    p_idx = list(p_idx)
+    pbounds = [NAKL_PBOUNDS[j] for j in p_idx]
+    log_idx = tuple((NAKL_TAU_IDX if log_tau else ())
+                    + (NAKL_G_IDX if log_g else ()))
+    if log_idx:
+        pbounds = [(np.log(b[0]), np.log(b[1])) if pi in log_idx else b
+                   for b, pi in zip(pbounds, p_idx)]
+    if box_shrink != 1.0:
+        S = float(box_shrink)
+        keep_wide = () if box_shrink_all else (0,) + NAKL_G_IDX
+        p_tr = np.asarray(NAKL_P_TRUE, np.float64)[p_idx].copy()
+        log_loc = [j for j, pi in enumerate(p_idx) if pi in log_idx]
+        if log_loc:
+            p_tr[log_loc] = np.log(p_tr[log_loc])
+        rng_box = np.random.default_rng(seed + 777)
+        off = rng_box.uniform(-box_offset, box_offset, len(p_idx))
+        shr = []
+        for j, (pi, (b0, b1), c) in enumerate(zip(p_idx, pbounds, p_tr)):
+            if pi in keep_wide:
+                shr.append((b0, b1))
+                continue
+            w = (b1 - b0) / (2.0 * S)
+            c = c + off[j] * w
+            shr.append((max(b0, c - w), min(b1, c + w)))
+        pbounds = shr
+    return pbounds, log_idx
 
 
 def _cols(p, idx):
