@@ -38,6 +38,13 @@ def main():
                          "per regime — the whole-problem fused "
                          "action+grad kernel ('ag') at D>=256 one-step "
                          "f32 (5.7x XLA at this config), XLA otherwise")
+    ap.add_argument("--solver", default="auto",
+                    choices=["auto", "fused", "xla"],
+                    help="inner solver: 'fused' = whole-solve Pallas "
+                         "kernel (ONE launch per rung per member, "
+                         "kernels/solve_pallas.py); 'auto' uses it "
+                         "where solve_supported() holds (TPU, f32, "
+                         "unbounded, VMEM fits)")
     ap.add_argument("--batch-chunk", type=int, default=0,
                     help="process the ensemble in member-chunks of this "
                          "size (one chip bounds per-dispatch size; a "
@@ -83,12 +90,24 @@ def main():
     chunk = args.chunk or n_beta
 
     from varanneal_tpu.anneal import run_ladder
+    from varanneal_tpu.kernels import solve_pallas
+
+    ladder_kw = {}
+    if args.solver in ("auto", "fused") and solve_pallas.solve_supported(
+            spec, rf0, opts, dtype=dtype):
+        ladder_kw = dict(rung_solver=solve_pallas.make_rung_solver(spec,
+                                                                   opts))
+        print("solver: whole-solve Pallas kernel (one launch per rung)")
+    elif args.solver == "fused":
+        print("solver: fused requested but unsupported here "
+              "(solve_supported() false) — generic loop", file=sys.stderr)
 
     # betas are a TRACED argument so every equal-length chunk shares one
     # compile (short device dispatches; warm-started carry across chunks)
     ladder_chunk = jax.jit(jax.vmap(
         lambda xp, bc: run_ladder(action, parts, xp, bc, rf0, 1.5,
-                                  opts=opts, store_paths=False),
+                                  opts=opts, store_paths=False,
+                                  **ladder_kw),
         in_axes=(0, None)))
 
     def run_members(xp):
