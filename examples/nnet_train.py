@@ -14,10 +14,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 throughput mode (f64 is the default "
+                         "for estimation quality; on this TPU f64 is "
+                         "emulated ~44x slower — CLAUDE.md)")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_enable_x64", True)
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
 
     from varanneal_tpu import nnet
 
@@ -35,9 +40,11 @@ def main():
     ann.set_input_data(U)
     ann.set_output_data(Y)
 
+    opt_args = (dict(maxiter=1500) if args.f32
+                else dict(maxiter=1500, gtol=1e-9))
     t0 = time.time()
     ann.anneal(alpha=2.0, beta_array=np.arange(n_beta), RM=1.0, RF0=1e-3,
-               opt_args=dict(maxiter=1500, gtol=1e-9), seed=3)
+               opt_args=opt_args, seed=3)
     t1 = time.time()
 
     pred = ann.predict(U)
