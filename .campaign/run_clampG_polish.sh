@@ -37,6 +37,7 @@ while true; do
   LAUNCH=$(date +%s)
   python -u examples/nakl_ensemble.py --load "$SAVE" \
     --polish-top "$POLISH_TOP" --polish-maxiter "$POLISH_MAXITER" \
+    --polish-batch "${POLISH_BATCH:-4}" \
     --polish-repeats "$POLISH_REPEATS" --chunk 1 >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > "$DIR/${TAG}_polish.pid"

@@ -74,6 +74,12 @@ def main():
                     help="same, for the f64 polish rungs")
     ap.add_argument("--polish-maxiter", type=int, default=2000)
     ap.add_argument("--polish-top", type=int, default=4)
+    ap.add_argument("--polish-batch", type=int, default=4,
+                    help="polish members in sequential batches of at "
+                         "most this size (measured: the f64 NaKL-SH "
+                         "program at B=6 crashes this testbed's TPU "
+                         "worker deterministically, B=4 runs clean — "
+                         "CLAUDE.md; 0 = one batch)")
     ap.add_argument("--snap-beta", type=int, default=None,
                     help="record the phase-1 ensemble state after this "
                          "many β rungs as the f64 polish restart point "
@@ -659,18 +665,33 @@ def main():
     if own:
         from varanneal_tpu.parallel import strip_anchors
         src_p = strip_anchors(src_p, npar)   # polish is prior-free
-    res_pol = run_ladder_checkpointed(
-        action64, parts64, jnp.asarray(src_p.astype(np.float64)),
-        pol_betas, jnp.asarray(rf0_64), args.alpha,
-        ckpt_path=(stem + "_pol_ckpt.npz" if stem else None),
-        save_every=max(args.chunk, 1), lower=lo64, upper=hi64,
-        opts=opts64, store_paths=False, batched=True,
-        repeats=max(1, args.polish_repeats),
-        meta=dict(picks=np.asarray(picks),
-                  gate_rf_scale=args.gate_rf_scale), verbose=True,
-        rf_min=rf_min)
-    XPk = np.asarray(res_pol.XP)
-    Ak = np.asarray(res_pol.A)
+    # sequential member batches: the f64 polish program's ensemble size
+    # is a measured worker-stability knob (B=6 crashes, B=4 clean —
+    # CLAUDE.md); batch 0's checkpoint keeps the legacy path so
+    # in-flight single-batch runs resume unchanged
+    pbatch = args.polish_batch if args.polish_batch > 0 else Ktop
+    XPk_parts, Ak_parts = [], []
+    for bi in range(0, Ktop, pbatch):
+        sel = list(range(bi, min(bi + pbatch, Ktop)))
+        ck = (stem + ("_pol_ckpt.npz" if bi == 0
+                      else f"_pol{bi}_ckpt.npz")) if stem else None
+        if len(sel) < Ktop:
+            print(f"polish batch [{sel[0]}:{sel[-1] + 1}] of {Ktop}")
+        res_pol = run_ladder_checkpointed(
+            action64, parts64,
+            jnp.asarray(src_p[sel].astype(np.float64)),
+            pol_betas, jnp.asarray(rf0_64), args.alpha,
+            ckpt_path=ck,
+            save_every=max(args.chunk, 1), lower=lo64, upper=hi64,
+            opts=opts64, store_paths=False, batched=True,
+            repeats=max(1, args.polish_repeats),
+            meta=dict(picks=np.asarray([picks[j] for j in sel]),
+                      gate_rf_scale=args.gate_rf_scale), verbose=True,
+            rf_min=rf_min)
+        XPk_parts.append(np.asarray(res_pol.XP))
+        Ak_parts.append(np.asarray(res_pol.A))
+    XPk = np.concatenate(XPk_parts, axis=0)
+    Ak = np.concatenate(Ak_parts, axis=0)
     print(f"polish ({Ktop} members x {len(pol_betas)} β): "
           f"{time.time() - t1:.1f}s")
     results = sorted((float(Ak[j, -1]), picks[j], XPk[j])
