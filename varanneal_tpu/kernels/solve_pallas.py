@@ -68,17 +68,26 @@ def set_interpret(flag: bool):
 def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
                     dtype=np.float32, bounded=False) -> bool:
     """Static predicate: the whole-solve kernel applies. Bounds keep the
-    XLA path (the subspace L-BFGS-B is a different algorithm); the VMEM
-    budget covers the 4m history blocks, ~12 live vector blocks and the
-    (N_pad, N_pad) shift matrix."""
+    XLA path (the subspace L-BFGS-B is a different algorithm).
+
+    VMEM model CALIBRATED against Mosaic's measured scoped-stack usage
+    at D=400/N=161 (D_pad=512, block = N_pad*D_pad*4 = 344 KB): the
+    compiler reported 18.52 MB at m=5, 16.45 at m=3, 16.12 at m=2 —
+    i.e. ~(m + 45) blocks: a ~45-block fixed footprint (the in-kernel
+    vag, line-search carries, history scratch high-water) plus ~1 block
+    per history slot, against the 16 MB scoped limit. The old
+    (2m+12)-block model under-counted 2.4x and let D=400 through to a
+    compile-time OOM. Budget 15.5 MB keeps a safety margin; the bench
+    shape (D=20, ~4.4 MB) and D<=384 (<=13 MB at m=5) stay supported,
+    D_pad=512 problems fall back to the generic loop."""
     if bounded or not ag_supported(spec, rf, dtype):
         return False
     if opts.m > 8:
         return False
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
-    vmem = ((2 * opts.m + 12) * N_pad * D_pad + N_pad * N_pad) * 4
-    if vmem > 10 * 2 ** 20:
+    vmem = ((opts.m + 45) * N_pad * D_pad + N_pad * N_pad) * 4
+    if vmem > int(15.5 * 2 ** 20):
         return False
     if _INTERPRET[0]:      # test mode: interpreter runs anywhere
         return True
