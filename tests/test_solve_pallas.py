@@ -49,6 +49,24 @@ def test_supported_predicate():
                                             dtype=np.float64)
 
 
+def test_supported_predicate_vmem_boundary():
+    """The VMEM model is calibrated against measured Mosaic scoped-stack
+    usage (D=400/N=161: 18.52 MB @ m=5 vs the 16 MB limit — see
+    solve_supported docstring). The boundary was verified on hardware:
+    D=384 compiles AND runs eval-for-eval with XLA; D=400 (D_pad=512)
+    OOMs at compile for every m <= 8. The predicate must reproduce it."""
+    for D, n_obs, want in [(256, 102, True), (384, 153, True),
+                           (400, 160, False)]:
+        tw = lorenz96_twin(D=D, N_data=161, n_obs=n_obs)
+        spec = build_spec(lorenz96, D, tw["Y"].astype(np.float32),
+                          tw["t"], tw["Lidx"], tw["RM"],
+                          disc="trapezoid", P=np.array([4.0]), pidx=[0])
+        for m in (2, 5):
+            got = solve_pallas.solve_supported(
+                spec, np.float32(1.0), LBFGSOptions(maxiter=10, m=m))
+            assert got == want, (D, m, got)
+
+
 @pytest.mark.parametrize("disc", ["trapezoid", "euler", "forwardmap"])
 def test_short_solve_matches_xla_counts(disc):
     """Short convergent solves: identical niter/nfev/status, same f."""
