@@ -45,10 +45,51 @@ Usage:
 
 import argparse
 import json
+import os
+import re
 import sys
 import time
 
 import numpy as np
+
+# results[L] fields that are python scalars (everything else is ndarray)
+_SCALARS = ("frac_ok", "frac_low", "best", "wall", "nfev")
+
+
+def _ckpt_meta(args):
+    """The run config a checkpoint must match to be resumable (chunking
+    is excluded: chunk boundaries are warm-started and exact, so results
+    are chunk-invariant)."""
+    return dict(D=args.D, record_n=args.record_n, ninit=args.ninit,
+                nbeta=args.nbeta, maxiter=args.maxiter, tail=args.tail,
+                seed=args.seed, data_seed=args.data_seed,
+                solver=args.solver, rmse_thresh=args.rmse_thresh)
+
+
+def _flatten(results, meta, F_true):
+    flat = {"meta": json.dumps(meta), "F_true": np.float64(F_true)}
+    for L, r in results.items():
+        for k, v in r.items():
+            flat[f"L{L}_{k}"] = v
+    return flat
+
+
+def _unflatten(d):
+    out = {}
+    for key in d.files:
+        m = re.match(r"^L(\d+)_(.+)$", key)
+        if not m:
+            continue
+        L, k = int(m.group(1)), m.group(2)
+        v = d[key]
+        out.setdefault(L, {})[k] = v.item() if v.ndim == 0 else v
+    return out
+
+
+def _save_ckpt(path, results, meta, F_true):
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **_flatten(results, meta, F_true))
+    os.replace(tmp, path)
 
 
 def run_sweep(args):
@@ -73,10 +114,30 @@ def run_sweep(args):
     except RuntimeError:
         cpu0 = jax.devices()[0]
 
+    # per-L checkpoint: a TPU-worker hang kills the whole sweep (measured
+    # this round); completed Ls are resumed instead of re-run
+    meta = _ckpt_meta(args)
+    done, F_true = {}, None
+    if args.ckpt and os.path.exists(args.ckpt):
+        d = np.load(args.ckpt, allow_pickle=False)
+        if json.loads(str(d["meta"])) == meta:
+            done = _unflatten(d)
+            F_true = float(d["F_true"])
+            print(f"[ckpt] resuming, already done: L={sorted(done)}",
+                  file=sys.stderr, flush=True)
+        else:
+            print("[ckpt] config mismatch — ignoring checkpoint",
+                  file=sys.stderr, flush=True)
+
     results = {}
     for L in nobs_list:
+        if L in done:
+            results[L] = done[L]
+            print(f"L={L:2d}: resumed from checkpoint", flush=True)
+            continue
         tw = lorenz96_twin(D=D, N_data=args.record_n, n_obs=L,
                            seed=args.data_seed)
+        F_true = tw["F"]
         spec = build_spec(lorenz96, D, tw["Y"], tw["t"], tw["Lidx"],
                           tw["RM"], disc="trapezoid",
                           P=np.array([4.0]), pidx=[0])
@@ -169,7 +230,9 @@ def run_sweep(args):
               f"RMSE {rmse_unobs[best]:.3f}, "
               f"frac@lowest-level {frac_low:.2f}, "
               f"{wall:.1f}s ladder / {nfev} evals", flush=True)
-    return results, tw["F"]
+        if args.ckpt:
+            _save_ckpt(args.ckpt, results, meta, F_true)
+    return results, F_true
 
 
 def main():
@@ -188,6 +251,9 @@ def main():
     ap.add_argument("--rmse-thresh", type=float, default=1.0)
     ap.add_argument("--solver", default="fused", choices=["fused", "xla"])
     ap.add_argument("--save", default="")
+    ap.add_argument("--ckpt", default=None,
+                    help="per-L resume checkpoint; defaults to "
+                         "<save>.part.npz when --save is given")
     ap.add_argument("--fig", default="")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true",
@@ -204,6 +270,8 @@ def main():
         # env JAX_PLATFORMS is too late when a sitecustomize pre-imported
         # jax (CLAUDE.md gotcha) — force the platform on the live config
         jax.config.update("jax_platforms", "cpu")
+    if args.ckpt is None:
+        args.ckpt = args.save + ".part.npz" if args.save else ""
 
     results, F_true = run_sweep(args)
 
