@@ -51,6 +51,22 @@ def test_example_lorenz96_d20_small_runs():
         os.unlink(f)
 
 
+def test_example_lorenz96_d100_ensemble_small_runs(tmp_path):
+    """The d100 example's --ninit path: vmapped library ladder + action
+    ranking at the --small config (D=40), through the chunked checkpoint
+    facade."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=os.getcwd())
+    r = subprocess.run(
+        [sys.executable, "examples/lorenz96_d100_sh.py", "--small",
+         "--ninit", "3", "--maxiter", "40",
+         "--ckpt", str(tmp_path / "d100_ens.npz")],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=os.getcwd())
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ensemble B=3" in r.stdout
+    assert "min-action member" in r.stdout
+
+
 def test_colpitts_vs_numpy():
     from varanneal_tpu.models import colpitts, COLPITTS_P_TRUE
     from varanneal_tpu.twin import colpitts_np
