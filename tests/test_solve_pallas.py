@@ -181,6 +181,40 @@ def test_facade_solver_fused():
         run("fused", bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)])
 
 
+def test_facade_solver_auto_policy(monkeypatch):
+    """solver='auto' (the default) picks the fused kernel exactly in its
+    envelope: unbounded f32 L-BFGS with the default engine policy —
+    silently generic for bounds / compensated / a forced other engine."""
+    from varanneal_tpu import Annealer
+    from varanneal_tpu.kernels import solve_pallas as sp
+
+    picked = []
+    real = sp.make_rung_solver
+    monkeypatch.setattr(sp, "make_rung_solver",
+                        lambda spec, opts: picked.append(1) or
+                        real(spec, opts))
+
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+
+    def run(**kw):
+        picked.clear()
+        an = Annealer()
+        an.set_model(lorenz96, 20)
+        an.set_data(tw["Y"], t=tw["t"])
+        an.anneal(np.tile(tw["Y"].mean(), (41, 20)),
+                  np.array([4.0]), 1.5, np.arange(3), tw["RM"],
+                  4e-6 * tw["RM"], tw["Lidx"], Pidx=[0],
+                  dtype=np.float32, track_paths=False,
+                  opt_args=dict(maxiter=15, m=5, pgtol=1e-4,
+                                direction="two_loop"), **kw)
+        return bool(picked)
+
+    assert run() is True                                # in-envelope
+    assert run(engine="xla") is False                   # forced engine
+    assert run(compensated=True) is False               # compensated sums
+    assert run(bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)]) is False
+
+
 def test_facade_solver_fused_checkpointed(tmp_path):
     """The checkpointed ladder path (repeats > 1) forwards the fused
     rung solver too."""

@@ -179,7 +179,7 @@ class Annealer:
                resume=True, R_time_dependent=None, engine="auto",
                repeats=1, snapshot_beta=None, checkpoint_meta=None,
                compensated=False, RF_max=None, RF_min=None,
-               solver="generic"):
+               solver="auto"):
         """Run the full precision-annealing ladder.
 
         Signature mirrors the reference (``varanneal/va_ode.py ::
@@ -214,11 +214,15 @@ class Annealer:
         normally). A capped component stops annealing at its cap; a
         floored component starts the ladder AT its floor and resumes
         annealing once RF0·α^β overtakes it (see anneal/ladder.py);
-        ``solver``: ``'generic'`` (default — the while_loop L-BFGS
-        family) or ``'fused'`` (the whole-solve Pallas kernel: the
-        entire inner solve in ONE launch per rung,
-        kernels/solve_pallas.py — unbounded f32 L-BFGS problems in the
-        kernel's VMEM envelope; warns and falls back where unsupported).
+        ``solver``: ``'auto'`` (default — the whole-solve Pallas kernel
+        in its measured-win envelope: TPU, unbounded f32 L-BFGS
+        problems inside the kernel's VMEM budget and with the default
+        ``engine`` policy, 4.2–10x the generic loop at matched eval
+        counts, PARITY.md; the generic while_loop family elsewhere),
+        ``'generic'`` (forced while_loop L-BFGS family), or ``'fused'``
+        (the whole-solve kernel forced: the entire inner solve in ONE
+        launch per rung, kernels/solve_pallas.py — warns and falls back
+        where unsupported).
         """
         if self.f is None or self.data is None:
             raise RuntimeError("call set_model and set_data before anneal")
@@ -304,21 +308,27 @@ class Annealer:
                                   **tnc_kw)
 
         rung_solver = None
-        if solver not in ("generic", "fused"):
-            raise ValueError(f"solver must be generic/fused, got "
+        if solver not in ("auto", "generic", "fused"):
+            raise ValueError(f"solver must be auto/generic/fused, got "
                              f"{solver!r}")
-        if solver == "fused":
+        if solver != "generic":
             from varanneal_tpu.kernels import solve_pallas
-            if (method in ("L-BFGS-B", "LBFGS")
-                    and solve_pallas.solve_supported(
-                        spec, rf0, opts, dtype=dtype,
-                        bounded=lower is not None)):
+            ok = (method in ("L-BFGS-B", "LBFGS")
+                  and not compensated
+                  and solve_pallas.solve_supported(
+                      spec, rf0, opts, dtype=dtype,
+                      bounded=lower is not None))
+            if ok and solver == "auto" and engine not in ("auto", "ag"):
+                # the fused solver evaluates the action via its in-kernel
+                # ag vag; honor an explicit different engine choice
+                ok = False
+            if ok:
                 rung_solver = solve_pallas.make_rung_solver(spec, opts)
-            else:
+            elif solver == "fused":
                 warnings.warn(
                     "solver='fused' unsupported for this problem "
-                    "(bounds / dtype / disc / VMEM envelope / backend); "
-                    "using the generic solver", stacklevel=2)
+                    "(bounds / dtype / disc / VMEM envelope / backend / "
+                    "compensated); using the generic solver", stacklevel=2)
 
         t0 = time.time()
         repeats = max(1, int(repeats))
