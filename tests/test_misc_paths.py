@@ -66,3 +66,12 @@ def test_reference_module_aliases():
     from varanneal_tpu.nnet import Annealer as A2
     assert va_ode.Annealer is A1
     assert va_nnet.Annealer is A2
+
+
+def test_version_matches_packaging_metadata():
+    import os
+    import tomllib
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as fh:
+        cfg = tomllib.load(fh)
+    assert cfg["project"]["version"] == varanneal_tpu.__version__
