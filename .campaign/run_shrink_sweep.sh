@@ -14,12 +14,13 @@ DIR=${DIR:-/tmp/nakl_r3}
 mkdir -p "$DIR"
 cd /root/repo
 
-for CFG in "shrink4 4 21" "shrink3 3 22" "shrink2 2 23"; do
+for CFG in "shrink4 4 21 0.5" "shrink3 3 22 0.5" "shrink2 2 23 0.5" \
+           "offset1 6 24 1.0"; do
   set -- $CFG
-  TAG=$1; S=$2; SEED=$3
+  TAG=$1; S=$2; SEED=$3; OFF=$4
   if [ ! -f "$DIR/${TAG}_DONE" ]; then
     env TAG="$TAG" NINIT=32 SEED="$SEED" \
-      EXTRA="--param-prior 10 --prior-own-draw --box-shrink $S" \
+      EXTRA="--param-prior 10 --prior-own-draw --box-shrink $S --box-offset $OFF" \
       bash .campaign/run_screen.sh
   fi
 done
