@@ -81,13 +81,21 @@ def main():
     w_wide = np.asarray([b1 - b0 for b0, b1 in wide_bounds])
     w_draw = np.asarray([b1 - b0 for b0, b1 in draw_bounds])
 
-    xp = d["xp"]
     A = d["A"][:, -1]
-    # anchored layout invariant: [... states, npar params, npar anchors]
-    # — slice from the END (layout-independent; what the example itself
-    # does), never via a recomputed disc-specific state count
-    draws = xp[:, -npar:].astype(np.float64)           # anchors = draws
-    ests = xp[:, -2 * npar:-npar].astype(np.float64)
+    if "xp" in keys:
+        xp = d["xp"]
+        # anchored layout invariant: [... states, npar params, npar
+        # anchors] — slice from the END (layout-independent; what the
+        # example itself does), never via a recomputed disc-specific
+        # state count
+        draws = xp[:, -npar:].astype(np.float64)       # anchors = draws
+        ests = xp[:, -2 * npar:-npar].astype(np.float64)
+    else:
+        # a .campaign/data facts archive (archive_facts.py strips the
+        # bulky decision vectors but keeps exactly these two fields) —
+        # every PARITY hit-rate claim recomputes from the in-repo data
+        draws = d["draws"].astype(np.float64)
+        ests = d["p_final"].astype(np.float64)
 
     dn = np.abs(draws - tr) / w_wide                   # (B, npar), wide
     d_inf = dn.max(axis=1)
@@ -103,7 +111,7 @@ def main():
 
     rankA = np.argsort(np.argsort(A))
     order = np.argsort(d_inf)
-    B = xp.shape[0]
+    B = draws.shape[0]
     print(f"{args.save}: B={B}, npar={npar}, log_tau={log_tau}, "
           f"log_g={log_g}, box_shrink={box_shrink}")
     if box_shrink != 1.0:
