@@ -14,12 +14,17 @@ DIR=${DIR:-/tmp/nakl_r3}
 mkdir -p "$DIR"
 cd /root/repo
 
-for CFG in "shrink4 4 21 0.5" "shrink3 3 22 0.5" "shrink2 2 23 0.5" \
-           "offset1 6 24 1.0"; do
+# TAG shrink seed offset B — the three prior-width points, the
+# center-offset robustness probe (truth allowed at the box edge), and a
+# third-seed B=64 replicate of the shrink-6 positive (→ 144 draws over
+# three seeds if all hold).
+for CFG in "shrink4 4 21 0.5 32" "shrink3 3 22 0.5 32" \
+           "shrink2 2 23 0.5 32" "offset1 6 24 1.0 32" \
+           "tightbox64b 6 25 0.5 64"; do
   set -- $CFG
-  TAG=$1; S=$2; SEED=$3; OFF=$4
+  TAG=$1; S=$2; SEED=$3; OFF=$4; B=$5
   if [ ! -f "$DIR/${TAG}_DONE" ]; then
-    env TAG="$TAG" NINIT=32 SEED="$SEED" \
+    env TAG="$TAG" NINIT="$B" SEED="$SEED" \
       EXTRA="--param-prior 10 --prior-own-draw --box-shrink $S --box-offset $OFF" \
       bash .campaign/run_screen.sh
   fi
