@@ -41,15 +41,15 @@ from varanneal_tpu.models import NAKL_PNAMES as PNAMES
 from varanneal_tpu.models import NAKL_PBOUNDS, nakl_param_boxes
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("save")
-    ap.add_argument("--top", type=int, default=12)
-    ap.add_argument("--hit-thresh", type=float, default=15.0,
-                    help="median-relative-error %% below which a "
-                         "member counts as a truth-watershed hit")
-    args = ap.parse_args()
-    d = np.load(args.save)
+def coverage_stats(save, hit_thresh=15.0):
+    """Draw→outcome statistics of an own-draw-anchored save (or its
+    `.campaign/data` facts archive): per-member draw distances (in
+    wide-box widths, estimation scale), final median parameter errors,
+    and the hit-rate summary. Returns a plain dict so the CLI below,
+    the prior-width dose-response figure
+    (benchmarks/nakl_prior_sweep_fig.py) and tests share one
+    implementation."""
+    d = np.load(save)
     keys = set(d.keys())
     assert "prior_own_draw" in keys and bool(d["prior_own_draw"]), \
         "not an own-draw-anchored save (no draw record to analyze)"
@@ -109,9 +109,32 @@ def main():
     rel = np.abs(est_lin - tr_lin) / np.abs(tr_lin)
     med_err = np.median(rel, axis=1) * 100
 
+    return dict(
+        B=draws.shape[0], npar=npar, Pidx=Pidx, LOG_IDX=LOG_IDX,
+        log_tau=log_tau, log_g=log_g, box_shrink=box_shrink,
+        box_offset=box_offset, seed=seed, seed_truth=bool(
+            meta("seed_truth", False)),
+        w_wide=w_wide, w_draw=w_draw, draws=draws, dn=dn,
+        d_inf=d_inf, d_med=d_med, med_err=med_err, A=A,
+        hits=med_err < hit_thresh, hit_thresh=hit_thresh)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("save")
+    ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--hit-thresh", type=float, default=15.0,
+                    help="median-relative-error %% below which a "
+                         "member counts as a truth-watershed hit")
+    args = ap.parse_args()
+    s = coverage_stats(args.save, hit_thresh=args.hit_thresh)
+    (B, npar, Pidx, med_err, d_inf, d_med, dn, A, w_draw, w_wide) = (
+        s["B"], s["npar"], s["Pidx"], s["med_err"], s["d_inf"],
+        s["d_med"], s["dn"], s["A"], s["w_draw"], s["w_wide"])
+    log_tau, log_g, box_shrink = s["log_tau"], s["log_g"], s["box_shrink"]
+
     rankA = np.argsort(np.argsort(A))
     order = np.argsort(d_inf)
-    B = draws.shape[0]
     print(f"{args.save}: B={B}, npar={npar}, log_tau={log_tau}, "
           f"log_g={log_g}, box_shrink={box_shrink}")
     if box_shrink != 1.0:

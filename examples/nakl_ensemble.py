@@ -591,6 +591,7 @@ def main():
                     box_shrink=float(args.box_shrink),
                     box_shrink_all=bool(args.box_shrink_all),
                     box_offset=float(args.box_offset),
+                    seed_truth=bool(args.seed_truth),
                     prior_own_draw=own)
         res = run_ladder_checkpointed(
             action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
