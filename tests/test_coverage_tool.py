@@ -82,3 +82,31 @@ def test_meta_passthrough_and_guard(tmp_path):
     np.savez(q, A=np.zeros((2, 3)), prior_own_draw=False)
     with pytest.raises(AssertionError):
         coverage_stats(q)
+
+
+def test_prior_sweep_fig_smoke(tmp_path, monkeypatch):
+    """The dose-response figure renders from synthetic campaign saves
+    (one wide-box, one tight-box, one offset probe) and refuses
+    truth-seeded oracle saves."""
+    import nakl_prior_sweep_fig as fig
+
+    p1 = _make_save(str(tmp_path), full=False, log_tau=True, log_g=True,
+                    seed=1)
+    os.rename(p1, os.path.join(str(tmp_path), "wide.npz"))
+    p2 = _make_save(str(tmp_path), full=False, log_tau=True, log_g=True,
+                    seed=2, box_shrink=6.0)
+    os.rename(p2, os.path.join(str(tmp_path), "tight.npz"))
+    p3 = _make_save(str(tmp_path), full=False, log_tau=True, log_g=True,
+                    seed=3, box_shrink=6.0, box_offset=1.0)
+    out = os.path.join(str(tmp_path), "fig.png")
+    monkeypatch.setattr(sys, "argv", [
+        "fig", os.path.join(str(tmp_path), "wide.npz"),
+        os.path.join(str(tmp_path), "tight.npz"), p3, "--out", out])
+    fig.main()
+    assert os.path.getsize(out) > 10_000
+
+    p4 = _make_save(str(tmp_path), full=False, log_tau=True, log_g=True,
+                    seed=4, seed_truth=True)
+    monkeypatch.setattr(sys, "argv", ["fig", p4, "--out", out])
+    with pytest.raises(AssertionError, match="oracle"):
+        fig.main()
