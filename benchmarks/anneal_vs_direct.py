@@ -71,8 +71,8 @@ def run(args):
     # direct arm gets the whole ladder budget in its single rung
     arms = [
         ("anneal", betas_full, args.maxiter),
-        ("coarse", betas_full[::args.stride], args.maxiter),
         ("direct", betas_full[-1:], args.nbeta * args.maxiter),
+        ("coarse", betas_full[::args.stride], args.maxiter),
     ]
 
     # accuracy-grade scoring action: f64 at beta_max (evaluation only,
@@ -130,18 +130,23 @@ def run(args):
               f"F {100 * (F_est[best] / tw['F'] - 1):+.1f}% "
               f"| {nfev} evals, {wall:.1f}s", flush=True)
 
-    if args.save:
-        flat = {"meta": json.dumps(dict(
-            ninit=args.ninit, nbeta=args.nbeta, maxiter=args.maxiter,
-            stride=args.stride, record_n=args.record_n, seed=args.seed,
-            data_seed=args.data_seed, f64=bool(args.f64),
-            rmse_thresh=args.rmse_thresh)),
-            "F_true": np.float64(tw["F"])}
-        for name, r in results.items():
-            for k, v in r.items():
-                flat[f"{name}_{k}"] = v
-        np.savez_compressed(args.save, **flat)
-        print(f"saved -> {args.save}", flush=True)
+        # incremental save after EVERY arm: the CPU f64 canonical run
+        # is hours on one core and the testbed VMs die mid-campaign
+        # (CLAUDE.md); a partial save with the anneal+direct arms
+        # already carries the premise measurement
+        if args.save:
+            flat = {"meta": json.dumps(dict(
+                ninit=args.ninit, nbeta=args.nbeta,
+                maxiter=args.maxiter, stride=args.stride,
+                record_n=args.record_n, seed=args.seed,
+                data_seed=args.data_seed, f64=bool(args.f64),
+                rmse_thresh=args.rmse_thresh)),
+                "F_true": np.float64(tw["F"])}
+            for nm, r in results.items():
+                for k, v in r.items():
+                    flat[f"{nm}_{k}"] = v
+            np.savez_compressed(args.save, **flat)
+            print(f"saved -> {args.save}", flush=True)
     return results
 
 
