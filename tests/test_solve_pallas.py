@@ -41,8 +41,9 @@ def test_supported_predicate():
     tw, spec = _l96_spec()
     opts = LBFGSOptions(m=5)
     assert solve_pallas.solve_supported(spec, np.float32(1.0), opts)
-    assert not solve_pallas.solve_supported(spec, np.float32(1.0), opts,
-                                            bounded=True)
+    # round-4: box-bounded problems are served (projection in-kernel)
+    assert solve_pallas.solve_supported(spec, np.float32(1.0), opts,
+                                        bounded=True)
     assert not solve_pallas.solve_supported(spec, np.float32(1.0),
                                             LBFGSOptions(m=10))
     assert not solve_pallas.solve_supported(spec, np.float64(1.0), opts,
@@ -88,6 +89,77 @@ def test_short_solve_matches_xla_counts(disc):
     np.testing.assert_allclose(float(rk.f), float(rx.f), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rk.x), np.asarray(rx.x),
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("disc", ["trapezoid", "euler"])
+def test_bounded_solve_matches_projection_counts(disc):
+    """Round-4 bounded kernel: identical niter/nfev/status and matching
+    iterates vs the generic PROJECTION solver (opt/lbfgs.py
+    bounded_algo='projection', direction='two_loop' — the same math) on
+    short bound-active solves."""
+    from varanneal_tpu.api import build_bounds
+    tw, spec = _l96_spec(disc=disc)
+    opts = LBFGSOptions(maxiter=30, m=5, pgtol=1e-4, ftol=1e-6,
+                        direction="two_loop", bounded_algo="projection")
+    action, _ = make_action(spec)
+    vag = jax.value_and_grad(action)
+    rng = np.random.default_rng(0)
+    xp0 = jnp.asarray(rng.normal(0, 3, spec.n_state + 1)
+                      .astype(np.float32))
+    rf = np.float32(4e-6)
+    # tight-ish box so the solve is genuinely bound-active
+    lower, upper = build_bounds(
+        spec, [(-6.0, 6.0)] * 20 + [(3.0, 6.0)], np.float32)
+    solver = solve_pallas.make_rung_solver(spec, opts,
+                                           lower=lower, upper=upper)
+    rk = solver(xp0, rf)
+    rx = lbfgs_minimize(lambda z: vag(z, rf), xp0,
+                        lower=jnp.asarray(lower), upper=jnp.asarray(upper),
+                        opts=opts)
+    assert int(rk.niter) == int(rx.niter)
+    assert int(rk.nfev) == int(rx.nfev)
+    assert int(rk.status) == int(rx.status)
+    np.testing.assert_allclose(float(rk.f), float(rx.f), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rk.x), np.asarray(rx.x),
+                               atol=2e-3)
+    # feasibility
+    xk = np.asarray(rk.x)
+    assert np.all(xk >= np.asarray(lower) - 1e-6)
+    assert np.all(xk <= np.asarray(upper) + 1e-6)
+    # the box is actually active somewhere (test isn't vacuous)
+    assert (np.any(np.abs(xk - np.asarray(lower)) < 1e-5)
+            or np.any(np.abs(xk - np.asarray(upper)) < 1e-5))
+
+
+def test_bounded_ladder_scan_vmap_parity():
+    """Bounded full ladder under scan + vmap through the rung_solver
+    hook vs the generic projection ladder."""
+    from varanneal_tpu.api import build_bounds
+    tw, spec = _l96_spec()
+    opts = LBFGSOptions(maxiter=200, m=5, pgtol=1e-4, ftol=1e-6,
+                        direction="two_loop", bounded_algo="projection")
+    action, parts = make_action(spec)
+    betas = jnp.arange(10, dtype=jnp.float32)
+    rf0 = np.float32(4e-6 * tw["RM"])
+    lower, upper = build_bounds(
+        spec, [(-12.0, 12.0)] * 20 + [(0.0, 10.0)], np.float32)
+    solver = solve_pallas.make_rung_solver(spec, opts,
+                                           lower=lower, upper=upper)
+    xp0 = jnp.asarray(random_ensemble_inits(spec, 3, seed=3,
+                                            dtype=np.float32))
+    lo_j, hi_j = jnp.asarray(lower), jnp.asarray(upper)
+    lad_k = jax.jit(jax.vmap(lambda z: run_ladder(
+        action, parts, z, betas, rf0, 1.5, opts=opts,
+        lower=lo_j, upper=hi_j,
+        store_paths=False, rung_solver=solver)))
+    lad_x = jax.jit(jax.vmap(lambda z: run_ladder(
+        action, parts, z, betas, rf0, 1.5, opts=opts,
+        lower=lo_j, upper=hi_j, store_paths=False)))
+    rk, rx = lad_k(xp0), lad_x(xp0)
+    np.testing.assert_allclose(np.asarray(rk.A), np.asarray(rx.A),
+                               rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(rk.XP), np.asarray(rx.XP),
+                               atol=2e-3)
 
 
 def test_ladder_scan_vmap_parity():
@@ -161,7 +233,41 @@ def test_facade_solver_fused():
     tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
     betas = np.arange(8)
 
-    def run(solver, bounds=None):
+    def run(solver, bounds=None, subspace=False):
+        an = Annealer()
+        an.set_model(lorenz96, 20)
+        an.set_data(tw["Y"], t=tw["t"])
+        oa = dict(maxiter=100, m=5, pgtol=1e-4, ftol=1e-6,
+                  direction="two_loop")
+        if subspace:
+            oa["bounded_algo"] = "subspace"
+        an.anneal(np.tile(tw["Y"].mean(), (41, 20)),
+                  np.array([4.0]), 1.5, betas, tw["RM"],
+                  4e-6 * tw["RM"], tw["Lidx"], Pidx=[0],
+                  dtype=np.float32, track_paths=False,
+                  solver=solver, bounds=bounds, opt_args=oa)
+        return an
+
+    a_f = run("fused")
+    a_g = run("generic")
+    np.testing.assert_allclose(a_f.A_array, a_g.A_array, rtol=5e-4)
+    # explicit subspace bounds keep the generic (full L-BFGS-B) path
+    with pytest.warns(UserWarning, match="fused.*unsupported"):
+        run("fused", bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)],
+            subspace=True)
+
+
+def test_facade_solver_fused_bounded():
+    """Round-4: anneal(solver='fused') serves BOUNDED problems via the
+    in-kernel projection algorithm; ladder matches the generic
+    projection solver."""
+    from varanneal_tpu import Annealer
+
+    tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
+    betas = np.arange(8)
+    bounds = [(-15.0, 15.0)] * 20 + [(0.0, 10.0)]
+
+    def run(solver):
         an = Annealer()
         an.set_model(lorenz96, 20)
         an.set_data(tw["Y"], t=tw["t"])
@@ -171,14 +277,20 @@ def test_facade_solver_fused():
                   dtype=np.float32, track_paths=False,
                   solver=solver, bounds=bounds,
                   opt_args=dict(maxiter=100, m=5, pgtol=1e-4, ftol=1e-6,
-                                direction="two_loop"))
+                                direction="two_loop",
+                                bounded_algo="projection"))
         return an
 
     a_f = run("fused")
     a_g = run("generic")
     np.testing.assert_allclose(a_f.A_array, a_g.A_array, rtol=5e-4)
-    with pytest.warns(UserWarning, match="fused.*unsupported"):
-        run("fused", bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)])
+    # bounds hold on the returned paths/params
+    for a in (a_f, a_g):
+        X = a.minpaths_X[-1]
+        assert float(np.min(X)) >= -15.0 - 1e-5
+        assert float(np.max(X)) <= 15.0 + 1e-5
+        p = float(a.minpaths_P[-1, 0])
+        assert 0.0 - 1e-6 <= p <= 10.0 + 1e-6
 
 
 def test_facade_solver_auto_policy(monkeypatch):
@@ -191,8 +303,8 @@ def test_facade_solver_auto_policy(monkeypatch):
     picked = []
     real = sp.make_rung_solver
     monkeypatch.setattr(sp, "make_rung_solver",
-                        lambda spec, opts: picked.append(1) or
-                        real(spec, opts))
+                        lambda spec, opts, **kw: picked.append(1) or
+                        real(spec, opts, **kw))
 
     tw = lorenz96_twin(D=20, N_data=41, n_obs=8)
 
@@ -212,7 +324,8 @@ def test_facade_solver_auto_policy(monkeypatch):
     assert run() is True                                # in-envelope
     assert run(engine="xla") is False                   # forced engine
     assert run(compensated=True) is False               # compensated sums
-    assert run(bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)]) is False
+    # round-4: bounded problems are IN the envelope (projection kernel)
+    assert run(bounds=[(-15.0, 15.0)] * 20 + [(0.0, 10.0)]) is True
 
 
 def test_facade_solver_fused_checkpointed(tmp_path):

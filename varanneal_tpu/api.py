@@ -313,22 +313,28 @@ class Annealer:
                              f"{solver!r}")
         if solver != "generic":
             from varanneal_tpu.kernels import solve_pallas
+            bounded_prob = lower is not None
             ok = (method in ("L-BFGS-B", "LBFGS")
                   and not compensated
                   and solve_pallas.solve_supported(
-                      spec, rf0, opts, dtype=dtype,
-                      bounded=lower is not None))
+                      spec, rf0, opts, dtype=dtype, bounded=bounded_prob))
             if ok and solver == "auto" and engine not in ("auto", "ag"):
                 # the fused solver evaluates the action via its in-kernel
                 # ag vag; honor an explicit different engine choice
                 ok = False
+            if ok and bounded_prob and opts.bounded_algo == "subspace":
+                # the in-kernel bounded solve is the PROJECTION algorithm;
+                # honor an explicit subspace (full L-BFGS-B) request
+                ok = False
             if ok:
-                rung_solver = solve_pallas.make_rung_solver(spec, opts)
+                rung_solver = solve_pallas.make_rung_solver(
+                    spec, opts, lower=lower, upper=upper)
             elif solver == "fused":
                 warnings.warn(
                     "solver='fused' unsupported for this problem "
-                    "(bounds / dtype / disc / VMEM envelope / backend / "
-                    "compensated); using the generic solver", stacklevel=2)
+                    "(dtype / disc / VMEM envelope / backend / "
+                    "compensated / explicit subspace bounds); using the "
+                    "generic solver", stacklevel=2)
 
         t0 = time.time()
         repeats = max(1, int(repeats))

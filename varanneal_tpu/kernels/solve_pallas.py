@@ -67,8 +67,12 @@ def set_interpret(flag: bool):
 
 def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
                     dtype=np.float32, bounded=False) -> bool:
-    """Static predicate: the whole-solve kernel applies. Bounds keep the
-    XLA path (the subspace L-BFGS-B is a different algorithm).
+    """Static predicate: the whole-solve kernel applies. Box-BOUNDED
+    problems are served too (round-4): projection semantics in-kernel
+    (active-set masked direction + projected-path Armijo), mirroring
+    ``opt/lbfgs.py``'s ``bounded_algo='projection'`` — not the subspace
+    L-BFGS-B, whose GCP/(m,m)-solve machinery does not pay at the small
+    per-member sizes this kernel targets.
 
     VMEM model CALIBRATED against Mosaic's measured scoped-stack usage
     at D=400/N=161 (D_pad=512, block = N_pad*D_pad*4 = 344 KB): the
@@ -79,14 +83,18 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
     (2m+12)-block model under-counted 2.4x and let D=400 through to a
     compile-time OOM. Budget 15.5 MB keeps a safety margin; the bench
     shape (D=20, ~4.4 MB) and D<=384 (<=13 MB at m=5) stay supported,
-    D_pad=512 problems fall back to the generic loop."""
-    if bounded or not ag_supported(spec, rf, dtype):
+    D_pad=512 problems fall back to the generic loop. Bounded adds the
+    two shared bound blocks plus the projected-LS trial carries:
+    measured on hardware (see PARITY round-4) the fixed footprint rises
+    by ~6 blocks — modeled as (m + 51)."""
+    if not ag_supported(spec, rf, dtype):
         return False
     if opts.m > 8:
         return False
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
-    vmem = ((opts.m + 45) * N_pad * D_pad + N_pad * N_pad) * 4
+    fixed = 51 if bounded else 45
+    vmem = ((opts.m + fixed) * N_pad * D_pad + N_pad * N_pad) * 4
     if vmem > int(15.5 * 2 ** 20):
         return False
     if _INTERPRET[0]:      # test mode: interpreter runs anywhere
@@ -109,10 +117,12 @@ def _cubic_min(a, fa, dfa, b, fb, dfb):
     return jnp.where(bad, 0.5 * (a + b), t)
 
 
-def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
+def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
     """One member: the full L-BFGS solve. Ref order:
       X_ref (1, N_pad, D_pad), p_ref (1, 1, NP_pad),
       pm_ref (1, 1, NP_pad) estimated-parameter 0/1 mask,
+      [bounded only: loX/hiX (1, N_pad, D_pad), loP/hiP (1, 1, NP_pad)
+       shared, padded/frozen entries +-inf],
       rf refs per mode (scalar SMEM (1, 1, 1) | diag blocks),
       y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
       -> Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref (1, 1, 128)
@@ -128,6 +138,11 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
     X_ref = refs.pop(0)
     p_ref = refs.pop(0)
     pm_ref = refs.pop(0)
+    if bounded:
+        loX_ref = refs.pop(0)
+        hiX_ref = refs.pop(0)
+        loP_ref = refs.pop(0)
+        hiP_ref = refs.pop(0)
     rf_refs = [refs.pop(0) for _ in range(n_rf)]
     y_ref = refs.pop(0)
     w_ref = refs.pop(0)
@@ -166,8 +181,31 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
     def tmax_abs(ax, ap):
         return jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(ap)))
 
+    if bounded:
+        loX, hiX = loX_ref[0], hiX_ref[0]
+        loP, hiP = loP_ref[0], hiP_ref[0]
+
+        def proj(Xv, pv):
+            return jnp.clip(Xv, loX, hiX), jnp.clip(pv, loP, hiP)
+
+        def pg_max(Xv, pv, gXv, gpv):
+            # SciPy's projected gradient x - P(x - g); zero on padded /
+            # frozen entries (their g is 0 and their bounds are +-inf)
+            return tmax_abs(Xv - jnp.clip(Xv - gXv, loX, hiX),
+                            pv - jnp.clip(pv - gpv, loP, hiP))
+
+        def free_masks(Xv, pv, gXv, gpv):
+            # active-set freeze, mirroring opt/lbfgs.py: a component at a
+            # bound with the gradient pushing OUT of the box is frozen
+            eps_b = jnp.asarray(1e-12, dtype)
+            aX = (((Xv <= loX + eps_b) & (gXv > 0))
+                  | ((Xv >= hiX - eps_b) & (gXv < 0)))
+            ap_ = (((pv <= loP + eps_b) & (gpv > 0))
+                   | ((pv >= hiP - eps_b) & (gpv < 0)))
+            return 1.0 - aX.astype(dtype), 1.0 - ap_.astype(dtype)
+
     # ---- two-loop recursion over the scratch history -------------------
-    def direction(gX, gp, head, hlen):
+    def direction(gX, gp, head, hlen, fX=None, fp=None):
         qX, qp = gX, gp
         ks = []
         for k in range(m):
@@ -199,6 +237,9 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
             qX = qX + (a_k - beta) * sX
             qp = qp + (a_k - beta) * sp
         dX, dp = -qX, -qp
+        if fX is not None:     # bound-active components frozen out
+            dX = dX * fX
+            dp = dp * fp
         desc = tdot(dX, dp, gX, gp)
         bad = (desc >= 0) | ~jnp.isfinite(desc)
         return (jnp.where(bad, -gX, dX), jnp.where(bad, -gp, dp))
@@ -310,10 +351,59 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
         nfev = i + jnp.where(done | ~have_lo, jnp.int32(0), jnp.int32(1))
         return a_out, f_out, gX_out, gp_out, nfev, ok
 
+    # ---- projected-path Armijo backtracking (bounded only) -------------
+    # Mirrors opt/lbfgs.py::_projected_backtracking_ls: trial points are
+    # P(x + a d); sufficient decrease against g0.(P(x+a d) - x). The
+    # accept test rides the while cond (recomputed from the carry) so the
+    # body stays a single unconditional vag eval — no lax.cond with block
+    # operands in the Mosaic hot loop.
+    def proj_ls(xX, xp, dX, dp, f0, gX0, gp0, a_init):
+        def trial(a):
+            return proj(xX + a * dX, xp + a * dp)
+
+        def armijo_ok(X_a, p_a, f_a):
+            gdx = tdot(gX0, gp0, X_a - xX, p_a - xp)
+            return ((f_a <= f0 + c1 * gdx) & jnp.isfinite(f_a)
+                    & (f_a < f0))
+
+        a0 = jnp.asarray(a_init, dtype)
+        X_t, p_t = trial(a0)
+        f_t, gX_t, gp_t = vag(X_t, p_t)
+        # carry: i, a, X_a, p_a, f_a, gX_a, gp_a
+        init = (jnp.ones((), jnp.int32), a0, X_t, p_t, f_t, gX_t, gp_t)
+
+        def cond(s):
+            i, a, X_a, p_a, f_a = s[0], s[1], s[2], s[3], s[4]
+            return ~armijo_ok(X_a, p_a, f_a) & (i < opts.maxls)
+
+        def body(s):
+            i, a = s[0], s[1]
+            a_n = 0.5 * a
+            X_n, p_n = trial(a_n)
+            f_n, gX_n, gp_n = vag(X_n, p_n)
+            return (i + 1, a_n, X_n, p_n, f_n, gX_n, gp_n)
+
+        i, a, X_a, p_a, f_a, gX_a, gp_a = lax.while_loop(cond, body, init)
+        ok = armijo_ok(X_a, p_a, f_a)
+        X_new = jnp.where(ok, X_a, xX)
+        p_new = jnp.where(ok, p_a, xp)
+        f_new = jnp.where(ok, f_a, f0)
+        gX_new = jnp.where(ok, gX_a, gX0)
+        gp_new = jnp.where(ok, gp_a, gp0)
+        return X_new, p_new, f_new, gX_new, gp_new, i, ok
+
     # ---- init -----------------------------------------------------------
     p0 = p_ref[0]
+    if bounded:
+        X0, p0 = proj(X0, p0)     # feasible start, as the generic loop
     f0, gX0, gp0 = vag(X0, p0)
-    pg0 = tmax_abs(gX0, gp0)
+    if bounded:
+        pg0 = pg_max(X0, p0, gX0, gp0)
+        fX0, fp0 = free_masks(X0, p0, gX0, gp0)
+        d0X, d0p = -gX0 * fX0, -gp0 * fp0
+    else:
+        pg0 = tmax_abs(gX0, gp0)
+        d0X, d0p = -gX0, -gp0
     gn1_0 = jnp.sum(jnp.abs(gX0)) + jnp.sum(jnp.abs(gp0))
     done0 = pg0 <= pgtol
     status0 = jnp.where(done0, jnp.int32(CONV_GRAD), jnp.int32(MAXITER))
@@ -328,7 +418,7 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
 
     # carry: X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
     #        status, done
-    init = (X0, p0, f0, gX0, gp0, -gX0, -gp0, gn1_0,
+    init = (X0, p0, f0, gX0, gp0, d0X, d0p, gn1_0,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32),
             status0, done0)
@@ -342,10 +432,14 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
         a_init = jnp.where(
             hlen == 0,
             jnp.minimum(one, 1.0 / jnp.maximum(gnorm1, tiny_den)), one)
-        a, f_new, gX_new, gp_new, ls_nfev, ls_ok = line_search(
-            X, p, dX, dp, f, gX, gp, a_init)
-        X_new = X + a * dX
-        p_new = p + a * dp
+        if bounded:
+            (X_new, p_new, f_new, gX_new, gp_new, ls_nfev,
+             ls_ok) = proj_ls(X, p, dX, dp, f, gX, gp, a_init)
+        else:
+            a, f_new, gX_new, gp_new, ls_nfev, ls_ok = line_search(
+                X, p, dX, dp, f, gX, gp, a_init)
+            X_new = X + a * dX
+            p_new = p + a * dp
 
         # curvature-gated history write at the head slot
         sX = X_new - X
@@ -364,7 +458,8 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
         head_n = jnp.where(good, jnp.mod(head + 1, m_i), head)
         hlen_n = jnp.where(good, jnp.minimum(hlen + 1, m), hlen)
 
-        pgn = tmax_abs(gX_new, gp_new)
+        pgn = (pg_max(X_new, p_new, gX_new, gp_new) if bounded
+               else tmax_abs(gX_new, gp_new))
         gn1 = jnp.sum(jnp.abs(gX_new)) + jnp.sum(jnp.abs(gp_new))
         df = f - f_new
         fden = jnp.maximum(jnp.maximum(jnp.abs(f), jnp.abs(f_new)), one)
@@ -378,7 +473,12 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
                       jnp.where(conv_f, jnp.int32(CONV_FTOL),
                                 jnp.int32(MAXITER))))
 
-        dX_n, dp_n = direction(gX_new, gp_new, head_n, hlen_n)
+        if bounded:
+            fXm, fpm = free_masks(X_new, p_new, gX_new, gp_new)
+            dX_n, dp_n = direction(gX_new * fXm, gp_new * fpm,
+                                   head_n, hlen_n, fXm, fpm)
+        else:
+            dX_n, dp_n = direction(gX_new, gp_new, head_n, hlen_n)
         X_out = jnp.where(fail, X, X_new)
         p_out = jnp.where(fail, p, p_new)
         f_out = jnp.where(fail, f, f_new)
@@ -391,7 +491,7 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
     s = lax.while_loop(cond, body, init)
     (X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
      status, done) = s
-    pgn = tmax_abs(gX, gp)
+    pgn = pg_max(X, p, gX, gp) if bounded else tmax_abs(gX, gp)
 
     Xo_ref[0] = X
     po_ref[0] = p
@@ -406,13 +506,16 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, *refs):
 
 
 def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
-                   X, p2, pm, rf_args, yv, wv, sts):
+                   X, p2, pm, rf_args, yv, wv, sts, bnds=None):
     """X (B, N_pad, D_pad), p2/pm (B, 1, NP_pad); rf/constants as in
-    ag_pallas._ag_batched. Returns (Xo, po, gxo, gpo, s)."""
+    ag_pallas._ag_batched; ``bnds`` the shared (loX, hiX, loP, hiP)
+    bound blocks or None. Returns (Xo, po, gxo, gpo, s)."""
     B, N_pad, D_pad = X.shape
     NP_pad = p2.shape[-1]
     m = opts.m
-    kern = functools.partial(_solve_kernel, spec, has_stim, rf_mode, opts)
+    bounded = bnds is not None
+    kern = functools.partial(_solve_kernel, spec, has_stim, rf_mode, opts,
+                             bounded)
     vmem = pltpu.VMEM
 
     def per_member(shp):
@@ -423,9 +526,14 @@ def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
     shared3 = pl.BlockSpec((1, N_pad, D_pad),
                            lambda b: (b * 0, b * 0, b * 0),
                            memory_space=vmem)
+    sharedp = pl.BlockSpec((1, 1, NP_pad),
+                           lambda b: (b * 0, b * 0, b * 0),
+                           memory_space=vmem)
     in_specs = [per_member((1, N_pad, D_pad)),
                 per_member((1, 1, NP_pad)),
                 per_member((1, 1, NP_pad))]
+    if bounded:
+        in_specs += [shared3, shared3, sharedp, sharedp]
     if rf_mode == "scalar":
         in_specs.append(pl.BlockSpec((1, 1, 1),
                                      lambda b: (b, b * 0, b * 0),
@@ -435,7 +543,8 @@ def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
             in_specs.append(shared3 if rf_shared
                             else per_member((1, N_pad, D_pad)))
     in_specs += [shared3, shared3]
-    args = [X, p2, pm] + list(rf_args) + [yv, wv]
+    args = ([X, p2, pm] + (list(bnds) if bounded else [])
+            + list(rf_args) + [yv, wv])
     if has_stim:
         S_pad = sts[0].shape[-1]
         sshared = pl.BlockSpec((1, N_pad, S_pad),
@@ -469,14 +578,22 @@ def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
         interpret=_INTERPRET[0])(*args)
 
 
-def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions):
+def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
+                     lower=None, upper=None):
     """Build ``solve(XP, rf) -> LBFGSResult`` running the whole L-BFGS
     inner solve in one Pallas launch (per member under vmap). Drop-in
     for the ``run_ladder(..., rung_solver=)`` hook; only valid where
-    :func:`solve_supported`."""
+    :func:`solve_supported`.
+
+    ``lower``/``upper``: optional flat bound vectors in the packed XP
+    layout (as built by ``api.build_bounds``) — the kernel then runs the
+    PROJECTION bounded algorithm (opt/lbfgs.py ``bounded_algo=
+    'projection'`` semantics) entirely in-kernel. Padded rows/cols and
+    frozen parameters get +-inf bounds so clipping never moves them."""
     N_f, D, NP = spec.N_f, spec.D, spec.NP
     N_pad, D_pad, NP_pad, yv, wv, sts = embed_consts(spec)
     has_stim = spec.stim_f is not None
+    n_st = len(sts)
     _prep = make_prep(spec, N_pad, D_pad, NP_pad)
     pmask_np = np.zeros((1, NP_pad), np.float32)
     if spec.NPest:
@@ -484,6 +601,26 @@ def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions):
     pmask = jnp.asarray(pmask_np)
     pcols = (np.asarray(spec.pidx, dtype=np.int32)
              if spec.NPest else None)
+
+    bounded = lower is not None or upper is not None
+    bnds = ()
+    if bounded:
+        n = spec.n_state + spec.NPest
+        lo = (np.full(n, -np.inf) if lower is None
+              else np.asarray(lower, np.float64))
+        hi = (np.full(n, np.inf) if upper is None
+              else np.asarray(upper, np.float64))
+        loX_e = np.full((N_pad, D_pad), -np.inf, np.float32)
+        hiX_e = np.full((N_pad, D_pad), np.inf, np.float32)
+        loX_e[:N_f, :D] = lo[: spec.n_state].reshape(N_f, D)
+        hiX_e[:N_f, :D] = hi[: spec.n_state].reshape(N_f, D)
+        loP_e = np.full((1, NP_pad), -np.inf, np.float32)
+        hiP_e = np.full((1, NP_pad), np.inf, np.float32)
+        if spec.NPest:
+            loP_e[0, np.asarray(spec.pidx, np.int64)] = lo[spec.n_state:]
+            hiP_e[0, np.asarray(spec.pidx, np.int64)] = hi[spec.n_state:]
+        bnds = (jnp.asarray(loX_e)[None], jnp.asarray(hiX_e)[None],
+                jnp.asarray(loP_e)[None], jnp.asarray(hiP_e)[None])
 
     _cache = {}
 
@@ -496,9 +633,12 @@ def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions):
         def solve_fn(Xp, p2, pm, *rest):
             rf_args = [r[None] for r in rest[:n_rf]]
             cy, cw = rest[n_rf], rest[n_rf + 1]
+            sts_c = rest[n_rf + 2: n_rf + 2 + n_st]
+            bnds_c = rest[n_rf + 2 + n_st:]
             outs = _solve_batched(spec, has_stim, rf_mode, False, opts,
                                   Xp[None], p2[None], pm[None], rf_args,
-                                  cy, cw, rest[n_rf + 2:])
+                                  cy, cw, sts_c,
+                                  bnds_c if bounded else None)
             return tuple(o[0] for o in outs)
 
         @solve_fn.def_vmap
@@ -525,11 +665,14 @@ def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions):
                 rf_args = [bc(r, isb) for r, isb in zip(rf_in, rf_b)]
             outs = _solve_batched(spec, has_stim, rf_mode, rf_shared,
                                   opts, Xp, p2, pm, rf_args, cy, cw,
-                                  consts[2:])
+                                  consts[2: 2 + n_st],
+                                  tuple(consts[2 + n_st:]) if bounded
+                                  else None)
             return outs, tuple(True for _ in outs)
 
         def call(Xp, p2, rf_args):
-            return solve_fn(Xp, p2, pmask, *rf_args, yv, wv, *sts)
+            return solve_fn(Xp, p2, pmask, *rf_args, yv, wv, *sts,
+                            *bnds)
 
         _cache[rf_mode] = call
         return call
