@@ -37,6 +37,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -142,10 +143,15 @@ def run(args):
                 data_seed=args.data_seed, f64=bool(args.f64),
                 rmse_thresh=args.rmse_thresh)),
                 "F_true": np.float64(tw["F"])}
-            for nm, r in results.items():
-                for k, v in r.items():
+            for nm, rv in results.items():
+                for k, v in rv.items():
                     flat[f"{nm}_{k}"] = v
-            np.savez_compressed(args.save, **flat)
+            # atomic replace: a VM death mid-write must not destroy the
+            # previous good partial save (ADVICE r3)
+            tmp = args.save + ".tmp"
+            with open(tmp, "wb") as fh:     # file object: savez would
+                np.savez_compressed(fh, **flat)  # append .npz to a path
+            os.replace(tmp, args.save)
             print(f"saved -> {args.save}", flush=True)
     return results
 

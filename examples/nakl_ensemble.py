@@ -3,8 +3,9 @@
 Round-1 experiments showed the NaKL voltage-only inverse problem has a
 near-degenerate conductance/reversal manifold: single inits land in
 compensated basins with perfect V tracking but wrong parameters. The
-working recipe (this script is now a THIN DRIVER — the mechanisms live in
-the library, ``anneal/checkpoint.py :: run_ladder_checkpointed``):
+working recipe (this script is now a THIN DRIVER — the staged machinery
+lives in the library, ``varanneal_tpu.workflow`` (``phase1``/``polish``
+on ``anneal/checkpoint.py :: run_ladder_checkpointed``)):
 
 1. bipolar injected current (probes the I-V curve across a wide V range);
 2. an f32 ensemble of random gate/parameter initializations, annealed on
@@ -259,7 +260,7 @@ def main():
     from varanneal_tpu.twin import nakl_twin
     from varanneal_tpu.ops import build_spec, make_action
     from varanneal_tpu.opt import LBFGSOptions
-    from varanneal_tpu.anneal.checkpoint import run_ladder_checkpointed
+    from varanneal_tpu import workflow
     from varanneal_tpu.api import build_bounds
     from varanneal_tpu import diag
 
@@ -560,20 +561,10 @@ def main():
                 blocks.append(np.column_stack([V_fk] + gates).ravel())
             xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
         xp_np0 = np.stack(xp0s)
-        lo_run, hi_run = lo, hi
         if own:
-            # library recipe: weak MAP prior anchoring each member's
-            # params to its OWN draw; centers travel as frozen extra
-            # coords, per-member boxes via batched_bounds
-            from varanneal_tpu.parallel import draw_anchored_problem
-            action, parts, xp_np0, lo_run, hi_run = draw_anchored_problem(
-                action, parts, xp_np0, np.asarray(lo), np.asarray(hi),
-                n_params=npar, weight=args.param_prior,
-                width=args.prior_w)
             print(f"MAP prior: lambda={args.param_prior}, "
                   f"width={args.prior_w} box-widths, center=own draw "
                   "(per member)")
-        xp = jnp.asarray(xp_np0)
 
         opts = LBFGSOptions(maxiter=args.maxiter, m=5, pgtol=1e-4,
                             ftol=1e-6, bounded_algo=args.algo)
@@ -593,19 +584,18 @@ def main():
                     box_offset=float(args.box_offset),
                     seed_truth=bool(args.seed_truth),
                     prior_own_draw=own)
-        res = run_ladder_checkpointed(
-            action, parts, xp, np.arange(n_beta, dtype=p1_dtype),
-            jnp.asarray(rf0_arr), args.alpha,
-            ckpt_path=(stem + "_p1_ckpt.npz" if stem else None),
-            save_every=args.chunk, lower=lo_run, upper=hi_run, opts=opts,
-            store_paths=False, batched=True, batched_bounds=own,
-            repeats=reps, snapshot_beta=snap, meta=meta, verbose=True,
-            rf_min=rf_min)
+        r1 = workflow.phase1(
+            action, parts, xp_np0, np.arange(n_beta, dtype=p1_dtype),
+            jnp.asarray(rf0_arr), args.alpha, lower=lo, upper=hi,
+            opts=opts, n_params=npar,
+            anchor_weight=(args.param_prior if own else 0.0),
+            anchor_width=args.prior_w, repeats=reps, snapshot_beta=snap,
+            checkpoint_stem=stem, save_every=args.chunk,
+            rf_min=rf_min, meta=meta, verbose=True)
         print(f"phase-1 ensemble: {time.time() - t0:.1f}s (incl. compile)")
-        xp_np = np.asarray(res.XP)
-        A = np.asarray(res.A)                       # (B, n_beta) per rung
-        xp_snap = (None if res.snapshot is None
-                   else np.asarray(res.snapshot))
+        xp_np = r1.XP
+        A = r1.A                                    # (B, n_beta) per rung
+        xp_snap = r1.snapshot
         if base:
             extra = {} if xp_snap is None else {"xp_snap": xp_snap}
             np.savez(base, xp=xp_np, A=A, **extra, **meta)
@@ -662,37 +652,20 @@ def main():
         1e-5 * rf_dir, (spec64.N_f - 1, 4)))
     pol_betas = np.arange(pol_lo, float(n_beta + 10))
     t1 = time.time()
-    src_p = src[picks]
-    if own:
-        from varanneal_tpu.parallel import strip_anchors
-        src_p = strip_anchors(src_p, npar)   # polish is prior-free
-    # sequential member batches: the f64 polish program's ensemble size
-    # is a measured worker-stability knob (B=6 crashes, B=4 clean —
-    # CLAUDE.md); batch 0's checkpoint keeps the legacy path so
-    # in-flight single-batch runs resume unchanged
-    pbatch = args.polish_batch if args.polish_batch > 0 else Ktop
-    XPk_parts, Ak_parts = [], []
-    for bi in range(0, Ktop, pbatch):
-        sel = list(range(bi, min(bi + pbatch, Ktop)))
-        ck = (stem + ("_pol_ckpt.npz" if bi == 0
-                      else f"_pol{bi}_ckpt.npz")) if stem else None
-        if len(sel) < Ktop:
-            print(f"polish batch [{sel[0]}:{sel[-1] + 1}] of {Ktop}")
-        res_pol = run_ladder_checkpointed(
-            action64, parts64,
-            jnp.asarray(src_p[sel].astype(np.float64)),
-            pol_betas, jnp.asarray(rf0_64), args.alpha,
-            ckpt_path=ck,
-            save_every=max(args.chunk, 1), lower=lo64, upper=hi64,
-            opts=opts64, store_paths=False, batched=True,
-            repeats=max(1, args.polish_repeats),
-            meta=dict(picks=np.asarray([picks[j] for j in sel]),
-                      gate_rf_scale=args.gate_rf_scale), verbose=True,
-            rf_min=rf_min)
-        XPk_parts.append(np.asarray(res_pol.XP))
-        Ak_parts.append(np.asarray(res_pol.A))
-    XPk = np.concatenate(XPk_parts, axis=0)
-    Ak = np.concatenate(Ak_parts, axis=0)
+    # library stage (workflow.polish): strips the own-draw anchors
+    # (polish is prior-free), batch-splits members per dispatch — the
+    # measured worker-stability knob (B=6 crashes, B=4 clean —
+    # CLAUDE.md), keeps the legacy checkpoint names so in-flight runs
+    # resume unchanged
+    r2 = workflow.polish(
+        action64, parts64, src, pol_betas, jnp.asarray(rf0_64),
+        args.alpha, lower=lo64, upper=hi64, opts=opts64, picks=picks,
+        anchored_n_params=(npar if own else 0),
+        batch=(args.polish_batch if args.polish_batch > 0 else Ktop),
+        repeats=max(1, args.polish_repeats), checkpoint_stem=stem,
+        save_every=max(args.chunk, 1), rf_min=rf_min,
+        meta=dict(gate_rf_scale=args.gate_rf_scale), verbose=True)
+    XPk, Ak = r2.XP, r2.A
     print(f"polish ({Ktop} members x {len(pol_betas)} β): "
           f"{time.time() - t1:.1f}s")
     results = sorted((float(Ak[j, -1]), picks[j], XPk[j])

@@ -68,6 +68,54 @@ def test_supported_predicate_vmem_boundary():
             assert got == want, (D, m, got)
 
 
+def test_vmem_probe_self_calibration(monkeypatch):
+    """Round-4 (VERDICT r3 #8): shapes in the risk band (> 60% of the
+    calibrated VMEM budget) are confirmed by a one-shot REAL compile,
+    cached per shape — a libtpu upgrade that shifts the fixed footprint
+    then flips the predicate instead of crashing the ladder. Small
+    shapes never pay the probe."""
+    from varanneal_tpu.twin import lorenz96_twin as _twin
+    solve_pallas.set_interpret(False)      # exercise the real gate
+    monkeypatch.setattr(solve_pallas.jax, "default_backend",
+                        lambda: "tpu")
+    calls = []
+
+    def fake_compile(spec, rf, opts, bounded):
+        calls.append(spec.D)
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Ran out of scoped memory")
+
+    monkeypatch.setattr(solve_pallas, "_compile_kernel", fake_compile)
+    monkeypatch.setattr(solve_pallas, "_probe_cache", {})
+    opts = LBFGSOptions(m=5)
+
+    # small shape (bench config): analytic-only, no probe call
+    tw, spec_s = _l96_spec()
+    assert solve_pallas.solve_supported(spec_s, np.float32(1.0), opts)
+    assert calls == []
+
+    # risk-band shape (D=384, analytically OK): the simulated libtpu
+    # OOM flips it to unsupported
+    tw = _twin(D=384, N_data=161, n_obs=153)
+    from varanneal_tpu.ops import build_spec as _bs
+    spec_b = _bs(lorenz96, 384, tw["Y"].astype(np.float32), tw["t"],
+                 tw["Lidx"], tw["RM"], disc="trapezoid",
+                 P=np.array([4.0]), pidx=[0])
+    assert not solve_pallas.solve_supported(spec_b, np.float32(1.0),
+                                            opts)
+    assert calls == [384]
+    # cached: a second query does not recompile
+    assert not solve_pallas.solve_supported(spec_b, np.float32(1.0),
+                                            opts)
+    assert calls == [384]
+
+    # a healthy compile keeps the shape supported
+    monkeypatch.setattr(solve_pallas, "_probe_cache", {})
+    monkeypatch.setattr(solve_pallas, "_compile_kernel",
+                        lambda *a: None)
+    assert solve_pallas.solve_supported(spec_b, np.float32(1.0), opts)
+
+
 @pytest.mark.parametrize("disc", ["trapezoid", "euler", "forwardmap"])
 def test_short_solve_matches_xla_counts(disc):
     """Short convergent solves: identical niter/nfev/status, same f."""

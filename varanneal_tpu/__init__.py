@@ -32,4 +32,5 @@ __version__ = "0.1.0"
 
 from varanneal_tpu import models, ops, opt, anneal, io  # noqa: F401
 from varanneal_tpu import va_ode, va_nnet  # noqa: F401  (reference aliases)
+from varanneal_tpu import workflow  # noqa: F401  (staged estimation)
 from varanneal_tpu.api import Annealer  # noqa: F401

@@ -945,6 +945,23 @@ def select_action(spec: ProblemSpec, rf, engine: str = "auto",
     if engine not in ("auto", "xla", "pallas", "ag"):
         raise ValueError(
             f"engine must be auto/xla/pallas/ag, got {engine!r}")
+    # forced engines on unsupported problems fail CLEARLY at build time
+    # (round-4: previously a time-dep-P spec raised an opaque reshape
+    # TypeError from inside the kernel prep). The support matrix
+    # (varanneal_tpu/support.py, PARITY.md) documents every cell.
+    if engine == "pallas" and not fe_supported(spec, rf):
+        raise ValueError(
+            "engine='pallas' unsupported for this problem (time-"
+            "dependent parameters / rf rank / non-uniform grid — see "
+            "the PARITY.md feature x engine support matrix)")
+    if engine == "ag":
+        from varanneal_tpu.kernels.ag_pallas import ag_supported as _ag
+        if not _ag(spec, rf, dtype):
+            raise ValueError(
+                "engine='ag' unsupported for this problem (time-"
+                "dependent parameters / dtype / rf or RM rank / non-"
+                "uniform grid / padded state exceeds VMEM — see the "
+                "PARITY.md feature x engine support matrix)")
     if engine == "ag" or (engine == "auto"
                           and ag_preferred(spec, rf, dtype)):
         from varanneal_tpu.kernels.ag_pallas import make_action_ag

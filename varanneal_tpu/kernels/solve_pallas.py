@@ -65,6 +65,52 @@ def set_interpret(flag: bool):
     _INTERPRET[0] = bool(flag)
 
 
+# ---------------------------------------------------------------------------
+# VMEM self-calibration (round-4, VERDICT r3 #8): the analytic
+# (m + 45|51)-block model below is calibrated against ONE libtpu build's
+# measured scoped-stack usage; a runtime upgrade can silently shift the
+# fixed footprint and turn a predicted-OK shape into a compile-time
+# Mosaic OOM. For shapes in the RISK BAND (predicted usage above
+# _PROBE_FRACTION of the budget) we therefore confirm with a one-shot
+# REAL compile of the kernel at that shape, cached per
+# (shape, m, bounded, rf-rank) per process (and across processes via
+# the persistent JAX compilation cache). Small shapes — the bench and
+# every campaign config — stay purely analytic (no probe cost).
+# ---------------------------------------------------------------------------
+
+_PROBE_FRACTION = 0.6
+_probe_cache = {}
+
+
+def _compile_kernel(spec, rf, opts, bounded):
+    """Compile (not run) the whole-solve kernel for this problem shape.
+    Raises on Mosaic scoped-memory OOM (or any other compile failure).
+    Split out so tests can monkeypatch a simulated OOM."""
+    import jax.numpy as jnp
+    n = spec.n_state + spec.NPest
+    lo = hi = None
+    if bounded:
+        lo = np.full(n, -1e6, np.float32)
+        hi = np.full(n, 1e6, np.float32)
+    solver = make_rung_solver(spec, opts, lower=lo, upper=hi)
+    XP = jnp.zeros(n, jnp.float32)
+    rf_c = jnp.asarray(np.asarray(rf, np.float32))
+    jax.jit(solver).lower(XP, rf_c).compile()
+
+
+def _probe_ok(spec, rf, opts, bounded) -> bool:
+    key = (spec.N_f, spec.D, spec.NP, spec.NPest, spec.disc,
+           np.ndim(rf), opts.m, bool(bounded),
+           spec.stim_f is not None)
+    if key not in _probe_cache:
+        try:
+            _compile_kernel(spec, rf, opts, bounded)
+            _probe_cache[key] = True
+        except Exception:
+            _probe_cache[key] = False
+    return _probe_cache[key]
+
+
 def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
                     dtype=np.float32, bounded=False) -> bool:
     """Static predicate: the whole-solve kernel applies. Box-BOUNDED
@@ -94,15 +140,22 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
     fixed = 51 if bounded else 45
+    budget = int(15.5 * 2 ** 20)
     vmem = ((opts.m + fixed) * N_pad * D_pad + N_pad * N_pad) * 4
-    if vmem > int(15.5 * 2 ** 20):
+    if vmem > budget:
         return False
     if _INTERPRET[0]:      # test mode: interpreter runs anywhere
         return True
     try:
-        return jax.default_backend() in ("tpu",)
+        if jax.default_backend() not in ("tpu",):
+            return False
     except Exception:  # pragma: no cover
         return False
+    if vmem > _PROBE_FRACTION * budget:
+        # near the calibrated limit: confirm with a one-shot real
+        # compile (cached) so a libtpu shift cannot crash a ladder
+        return _probe_ok(spec, rf, opts, bounded)
+    return True
 
 
 def _cubic_min(a, fa, dfa, b, fb, dfb):
