@@ -26,6 +26,18 @@ if [ ! -f "$DIR/bounded_ab_DONE" ]; then
     && touch "$DIR/bounded_ab_DONE"
 fi
 
+# --- packed-member kernel A/B (VERDICT item 7) --------------------------
+if [ ! -f "$DIR/pack_ab_DONE" ]; then
+  for i in 1 2 3; do
+    timeout 3000 python benchmarks/pack_ab.py \
+      > "$DIR/pack_ab.log" 2>&1 && break
+    echo "$(date -u +%FT%TZ) pack A/B attempt $i failed" >> "$DIR/pack_ab.log"
+    sleep 120
+  done
+  [ -f /tmp/pack_ab.json ] && cp /tmp/pack_ab.json "$DIR/pack_ab.json" \
+    && touch "$DIR/pack_ab_DONE"
+fi
+
 # --- tightbox64b replicate (seed 25, B=64) ------------------------------
 if [ ! -f "$DIR/tightbox64b_DONE" ]; then
   env DIR="$DIR" STALE=2700 TAG=tightbox64b NINIT=64 SEED=25 \

@@ -99,12 +99,27 @@ def main():
         # action/nfev on this exact config; solve_supported() gates on
         # backend/dtype/VMEM so non-TPU runs fall back to the generic
         # loop. BENCH_SOLVER=xla (any non-"fused" value) forces that.
+        # BENCH_PACK=k (k > 1, batched runs): the packed-member kernel —
+        # k members per grid program sharing one lockstep solve loop
+        # (kernels/solve_pack_pallas.py, VERDICT r3 #7); A/B tool
+        # benchmarks/pack_ab.py.
         from varanneal_tpu.kernels import solve_pallas
-        if solve_pallas.solve_supported(spec, dtype(1.0), opts,
-                                        dtype=dtype):
+        pack = int(os.environ.get("BENCH_PACK", "1"))
+        if pack > 1 and n_init > 1:
+            from varanneal_tpu.kernels import solve_pack_pallas
+            if solve_pack_pallas.pack_supported(spec, dtype(1.0), opts,
+                                                pack, dtype=dtype):
+                ladder_kw = dict(
+                    rung_solver=solve_pack_pallas
+                    .make_packed_rung_solver(spec, opts, pack))
+            else:
+                print("# BENCH_PACK unsupported here; k=1 fused",
+                      file=sys.stderr)
+        if not ladder_kw and solve_pallas.solve_supported(
+                spec, dtype(1.0), opts, dtype=dtype):
             ladder_kw = dict(
                 rung_solver=solve_pallas.make_rung_solver(spec, opts))
-        elif os.environ.get("BENCH_SOLVER"):
+        elif not ladder_kw and os.environ.get("BENCH_SOLVER"):
             print("# BENCH_SOLVER=fused unsupported here; generic loop",
                   file=sys.stderr)
     elif os.environ.get("BENCH_INNER", "lbfgs") == "lm":
@@ -175,10 +190,13 @@ def main():
     if final_a_tail64 is not None:
         out["final_A_tail64"] = round(final_a_tail64, 6)
     print(json.dumps(out))
+    # NOTE: the f32 final-rung action mean is NOT printed — at the top
+    # rung it sits below f32's round-off floor and varies meaninglessly
+    # run-to-run (57 vs 98 at identical config across rounds, VERDICT
+    # r3 weak #4). final_A_tail64 is the accuracy field.
     print(f"# device={jax.devices()[0].platform} dtype={dtype_s} "
           f"n_init={n_init} n_beta={n_beta} maxiter={maxiter} "
-          f"total_nfev={nfev} action+grad_evals/s={evals_per_sec:,.0f} "
-          f"final_A_mean={float(np.asarray(res.A)[:, -1].mean()):.6g}"
+          f"total_nfev={nfev} action+grad_evals/s={evals_per_sec:,.0f}"
           + (f" final_A_tail64={final_a_tail64:.6g}"
              if final_a_tail64 is not None else ""),
           file=sys.stderr)
