@@ -3,9 +3,12 @@ solvers, on a NaKL screen-shaped config (round-4, VERDICT r3 #1 "Done"
 criteria: real-TPU A/B at B=32, bounded, chunked, >=2x at identical
 basin statistics).
 
-Three arms, identical problem/inits/ladder:
+Four arms, identical problem/inits/ladder:
   fused      — solve_pallas.make_rung_solver with box bounds
                (projection algorithm IN-KERNEL, one launch per rung)
+  fused_pack — solve_pack_pallas (PACK members per grid program,
+               bounded; PACK env, default 4): the round-4 packed
+               kernel on the campaign shape
   projection — generic lax.while_loop solver, bounded_algo='projection'
                (the same algorithm, XLA-composed: the apples-to-apples
                speedup baseline)
@@ -126,6 +129,14 @@ def main():
     out = {"config": dict(B=B, NBETA=NBETA, N=N, MAXITER=MAXITER,
                           CHUNK=CHUNK, backend=jax.default_backend())}
     out["fused"] = arm("fused", opts_proj, fused_solver)
+    PACK = int(os.environ.get("PACK", 4))
+    from varanneal_tpu.kernels import solve_pack_pallas
+    if PACK > 1 and solve_pack_pallas.pack_supported(
+            spec, rf0, opts_proj, PACK, bounded=True):
+        pk = solve_pack_pallas.make_packed_rung_solver(
+            spec, opts_proj, PACK, lower=lower, upper=upper)
+        out[f"fused_pack{PACK}"] = arm(f"fused_pack{PACK}", opts_proj,
+                                       pk)
     out["projection"] = arm("projection", opts_proj)
     out["subspace"] = arm("subspace", opts_sub)
 

@@ -118,6 +118,37 @@ def test_pack_ladder_sh_stim_diag_rf():
     assert abs(nk - n1) <= max(4, int(0.1 * n1)), (nk, n1)
 
 
+def test_pack_bounded_matches_k1_memberwise():
+    """Bounded (projection-in-kernel) pack == bounded k=1 kernel
+    member-for-member — the shape the real campaigns run."""
+    from varanneal_tpu.api import build_bounds
+    tw, spec = _l96_spec()
+    opts = LBFGSOptions(maxiter=30, m=5, pgtol=1e-4, ftol=1e-6,
+                        direction="two_loop", bounded_algo="projection")
+    rf = np.float32(4e-6)
+    lower, upper = build_bounds(
+        spec, [(-6.0, 6.0)] * 20 + [(3.0, 6.0)], np.float32)
+    s1 = solve_pallas.make_rung_solver(spec, opts,
+                                       lower=lower, upper=upper)
+    sk = solve_pack_pallas.make_packed_rung_solver(
+        spec, opts, 3, lower=lower, upper=upper)
+    xp0 = jnp.asarray(random_ensemble_inits(spec, 6, seed=9,
+                                            dtype=np.float32) * 3.0)
+    r1 = jax.jit(jax.vmap(lambda z: s1(z, rf)))(xp0)
+    rk = jax.jit(jax.vmap(lambda z: sk(z, rf)))(xp0)
+    np.testing.assert_array_equal(np.asarray(rk.niter),
+                                  np.asarray(r1.niter))
+    np.testing.assert_array_equal(np.asarray(rk.nfev),
+                                  np.asarray(r1.nfev))
+    np.testing.assert_array_equal(np.asarray(rk.status),
+                                  np.asarray(r1.status))
+    np.testing.assert_allclose(np.asarray(rk.f), np.asarray(r1.f),
+                               rtol=1e-5)
+    xk = np.asarray(rk.x)
+    assert np.all(xk >= np.asarray(lower)[None] - 1e-6)
+    assert np.all(xk <= np.asarray(upper)[None] + 1e-6)
+
+
 def test_pack_supported_predicate():
     tw, spec = _l96_spec()
     opts = LBFGSOptions(m=5)

@@ -56,18 +56,21 @@ def set_interpret(flag: bool):
 
 
 def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
-                   dtype=np.float32) -> bool:
+                   dtype=np.float32, bounded=False) -> bool:
     """Static predicate. VMEM model: the k=1 kernel's calibrated
-    (m + 45)-block footprint is ~per-member state (vag residuals,
+    (m + 45|51)-block footprint is ~per-member state (vag residuals,
     line-search carries, history) except the shared consts/shift
-    matrix, so a k-pack costs ~k * (m + 45) blocks + N_pad^2."""
+    matrix, so a k-pack costs ~k * (m + 45|51) blocks + N_pad^2 (+2
+    shared bound blocks when bounded)."""
     if pack < 1 or opts.m > 8:
         return False
     if not ag_supported(spec, rf, dtype):
         return False
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
-    vmem = (pack * (opts.m + 45) * N_pad * D_pad + N_pad * N_pad) * 4
+    fixed = 51 if bounded else 45
+    vmem = ((pack * (opts.m + fixed) + (2 if bounded else 0))
+            * N_pad * D_pad + N_pad * N_pad) * 4
     if vmem > int(15.5 * 2 ** 20):
         return False
     if _INTERPRET[0]:
@@ -78,11 +81,13 @@ def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
         return False
 
 
-def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
+def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
     """One grid program: the full L-BFGS solve of k members in a shared
     lockstep loop. Ref order:
       X_ref (k, N_pad, D_pad), p_ref (k, 1, NP_pad),
       pm_ref (1, 1, NP_pad) shared estimated-parameter mask,
+      [bounded only: loX/hiX (1, N_pad, D_pad), loP/hiP (1, 1, NP_pad)
+       shared, +-inf on padded/frozen entries],
       rf refs per mode (scalar SMEM (k, 1, 1) | diag blocks),
       y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
       -> Xo, po, gxo (k, N_pad, D_pad), gpo (k, 1, NP_pad),
@@ -98,6 +103,11 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
     X_ref = refs.pop(0)
     p_ref = refs.pop(0)
     pm_ref = refs.pop(0)
+    if bounded:
+        loX_ref = refs.pop(0)
+        hiX_ref = refs.pop(0)
+        loP_ref = refs.pop(0)
+        hiP_ref = refs.pop(0)
     rf_refs = [refs.pop(0) for _ in range(n_rf)]
     y_ref = refs.pop(0)
     w_ref = refs.pop(0)
@@ -149,8 +159,27 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
     def tmax_abs(ax, ap):
         return jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(ap)))
 
+    if bounded:
+        loX, hiX = loX_ref[0], hiX_ref[0]
+        loP, hiP = loP_ref[0], hiP_ref[0]
+
+        def proj(Xv, pv):
+            return jnp.clip(Xv, loX, hiX), jnp.clip(pv, loP, hiP)
+
+        def pg_max(Xv, pv, gXv, gpv):
+            return tmax_abs(Xv - jnp.clip(Xv - gXv, loX, hiX),
+                            pv - jnp.clip(pv - gpv, loP, hiP))
+
+        def free_masks(Xv, pv, gXv, gpv):
+            eps_b = jnp.asarray(1e-12, dtype)
+            aX = (((Xv <= loX + eps_b) & (gXv > 0))
+                  | ((Xv >= hiX - eps_b) & (gXv < 0)))
+            ap_ = (((pv <= loP + eps_b) & (gpv > 0))
+                   | ((pv >= hiP - eps_b) & (gpv < 0)))
+            return 1.0 - aX.astype(dtype), 1.0 - ap_.astype(dtype)
+
     # ---- per-member two-loop direction over member j's scratch ---------
-    def direction(j, gX, gp, head, hlen):
+    def direction(j, gX, gp, head, hlen, fX=None, fp=None):
         qX, qp = gX, gp
         ks = []
         for t in range(m):
@@ -180,6 +209,9 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
             qX = qX + (a_t - beta) * sXv
             qp = qp + (a_t - beta) * spv
         dX, dp = -qX, -qp
+        if fX is not None:     # bound-active components frozen out
+            dX = dX * fX
+            dp = dp * fp
         desc = tdot(dX, dp, gX, gp)
         bad = (desc >= 0) | ~jnp.isfinite(desc)
         return (jnp.where(bad, -gX, dX), jnp.where(bad, -gp, dp))
@@ -326,18 +358,84 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
             outs.append((a_out, f_out, gX_out, gp_out, nfev, ok))
         return outs
 
+    # ---- shared projected-path Armijo backtracking (bounded only) ------
+    # Mirrors solve_pallas's proj_ls, k members in one while loop; the
+    # accept test rides the cond (recomputed from the carry) so the body
+    # is one unconditional vag per active member.
+    def shared_proj_ls(xs, ps, ds_X, ds_p, fs, gXs, gps, a_inits):
+        def trial(j, a):
+            return proj(xs[j] + a * ds_X[j], ps[j] + a * ds_p[j])
+
+        def armijo_ok(j, X_a, p_a, f_a):
+            gdx = tdot(gXs[j], gps[j], X_a - xs[j], p_a - ps[j])
+            return ((f_a <= fs[j] + c1 * gdx) & jnp.isfinite(f_a)
+                    & (f_a < fs[j]))
+
+        states = []
+        for j in range(k):
+            a0 = jnp.asarray(a_inits[j], dtype)
+            X_t, p_t = trial(j, a0)
+            f_t, gX_t, gp_t = vag(j, X_t, p_t)
+            states.append((jnp.ones((), jnp.int32), a0, X_t, p_t, f_t,
+                           gX_t, gp_t))
+
+        def active(j, s):
+            return ~armijo_ok(j, s[2], s[3], s[4]) & (s[0] < opts.maxls)
+
+        def cond(carry):
+            acc = active(0, carry[0])
+            for j in range(1, k):
+                acc = acc | active(j, carry[j])
+            return acc
+
+        def body(carry):
+            out = []
+            for j in range(k):
+                i, a = carry[j][0], carry[j][1]
+                run = active(j, carry[j])
+                a_n = 0.5 * a
+                X_n, p_n = trial(j, a_n)
+                f_n, gX_n, gp_n = vag(j, X_n, p_n)
+                new = (i + 1, a_n, X_n, p_n, f_n, gX_n, gp_n)
+                out.append(tuple(jnp.where(run, a_, b_)
+                                 for a_, b_ in zip(new, carry[j])))
+            return tuple(out)
+
+        final = lax.while_loop(cond, body, tuple(states))
+        outs = []
+        for j in range(k):
+            i, a, X_a, p_a, f_a, gX_a, gp_a = final[j]
+            ok = armijo_ok(j, X_a, p_a, f_a)
+            X_new = jnp.where(ok, X_a, xs[j])
+            p_new = jnp.where(ok, p_a, ps[j])
+            f_new = jnp.where(ok, f_a, fs[j])
+            gX_new = jnp.where(ok, gX_a, gXs[j])
+            gp_new = jnp.where(ok, gp_a, gps[j])
+            outs.append((X_new, p_new, f_new, gX_new, gp_new, i, ok))
+        return outs
+
     # ---- init -----------------------------------------------------------
     X0s = [X_ref[j] for j in range(k)]
     p0s = [p_ref[j] for j in range(k)]
+    if bounded:
+        prj = [proj(X0s[j], p0s[j]) for j in range(k)]
+        X0s = [t[0] for t in prj]
+        p0s = [t[1] for t in prj]
     inits = []
     for j in range(k):
         f0, gX0, gp0 = vag(j, X0s[j], p0s[j])
-        pg0 = tmax_abs(gX0, gp0)
+        if bounded:
+            pg0 = pg_max(X0s[j], p0s[j], gX0, gp0)
+            fX0, fp0 = free_masks(X0s[j], p0s[j], gX0, gp0)
+            d0X, d0p = -gX0 * fX0, -gp0 * fp0
+        else:
+            pg0 = tmax_abs(gX0, gp0)
+            d0X, d0p = -gX0, -gp0
         gn1_0 = jnp.sum(jnp.abs(gX0)) + jnp.sum(jnp.abs(gp0))
         done0 = pg0 <= pgtol
         status0 = jnp.where(done0, jnp.int32(CONV_GRAD),
                             jnp.int32(MAXITER))
-        inits.append((X0s[j], p0s[j], f0, gX0, gp0, -gX0, -gp0, gn1_0,
+        inits.append((X0s[j], p0s[j], f0, gX0, gp0, d0X, d0p, gn1_0,
                       jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                       jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32),
                       status0, done0))
@@ -372,16 +470,24 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
             hlens[j] == 0,
             jnp.minimum(one, 1.0 / jnp.maximum(gn1s[j], tiny_den)), one)
             for j in range(k)]
-        ls_outs = shared_line_search(xs, ps, dXs, dps, fs, gXs, gps,
+        if bounded:
+            ls_outs = shared_proj_ls(xs, ps, dXs, dps, fs, gXs, gps,
                                      a_inits)
+        else:
+            ls_outs = shared_line_search(xs, ps, dXs, dps, fs, gXs,
+                                         gps, a_inits)
         out = []
         for j in range(k):
             (X, p, f, gX, gp, dX, dp, gn1, head, hlen, niter, nfev,
              status, done) = carry[j]
             run = running(carry[j])
-            a, f_new, gX_new, gp_new, ls_nfev, ls_ok = ls_outs[j]
-            X_new = X + a * dX
-            p_new = p + a * dp
+            if bounded:
+                (X_new, p_new, f_new, gX_new, gp_new, ls_nfev,
+                 ls_ok) = ls_outs[j]
+            else:
+                a, f_new, gX_new, gp_new, ls_nfev, ls_ok = ls_outs[j]
+                X_new = X + a * dX
+                p_new = p + a * dp
 
             sXv = X_new - X
             spv = p_new - p
@@ -400,7 +506,8 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
             head_n = jnp.where(good, jnp.mod(head + 1, m_i), head)
             hlen_n = jnp.where(good, jnp.minimum(hlen + 1, m), hlen)
 
-            pgn = tmax_abs(gX_new, gp_new)
+            pgn = (pg_max(X_new, p_new, gX_new, gp_new) if bounded
+                   else tmax_abs(gX_new, gp_new))
             gn1_n = (jnp.sum(jnp.abs(gX_new))
                      + jnp.sum(jnp.abs(gp_new)))
             df = f - f_new
@@ -415,7 +522,13 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
                 jnp.where(fail, jnp.int32(LS_FAIL),
                           jnp.where(conv_f, jnp.int32(CONV_FTOL),
                                     jnp.int32(MAXITER))))
-            dX_n, dp_n = direction(j, gX_new, gp_new, head_n, hlen_n)
+            if bounded:
+                fXm, fpm = free_masks(X_new, p_new, gX_new, gp_new)
+                dX_n, dp_n = direction(j, gX_new * fXm, gp_new * fpm,
+                                       head_n, hlen_n, fXm, fpm)
+            else:
+                dX_n, dp_n = direction(j, gX_new, gp_new, head_n,
+                                       hlen_n)
             X_out = jnp.where(fail, X, X_new)
             p_out = jnp.where(fail, p, p_new)
             f_out = jnp.where(fail, f, f_new)
@@ -434,7 +547,7 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
     for j in range(k):
         (X, p, f, gX, gp, dX, dp, gn1, head, hlen, niter, nfev,
          status, done) = final[j]
-        pgn = tmax_abs(gX, gp)
+        pgn = pg_max(X, p, gX, gp) if bounded else tmax_abs(gX, gp)
         Xo_ref[j] = X
         po_ref[j] = p
         gxo_ref[j] = gX
@@ -447,15 +560,17 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, *refs):
 
 
 def _pack_batched(spec, has_stim, rf_mode, rf_shared, opts, pack,
-                  X, p2, pm, rf_args, yv, wv, sts):
-    """X (B, N_pad, D_pad) with B a multiple of ``pack``."""
+                  X, p2, pm, rf_args, yv, wv, sts, bnds=None):
+    """X (B, N_pad, D_pad) with B a multiple of ``pack``; ``bnds`` the
+    shared (loX, hiX, loP, hiP) bound blocks or None."""
     B, N_pad, D_pad = X.shape
     NP_pad = p2.shape[-1]
     m = opts.m
     assert B % pack == 0
     G = B // pack
+    bounded = bnds is not None
     kern = functools.partial(_pack_kernel, spec, has_stim, rf_mode,
-                             opts, pack)
+                             opts, pack, bounded)
     vmem = pltpu.VMEM
 
     def per_pack(shp):
@@ -466,11 +581,14 @@ def _pack_batched(spec, has_stim, rf_mode, rf_shared, opts, pack,
     shared3 = pl.BlockSpec((1, N_pad, D_pad),
                            lambda b: (b * 0, b * 0, b * 0),
                            memory_space=vmem)
+    sharedp = pl.BlockSpec((1, 1, NP_pad),
+                           lambda b: (b * 0, b * 0, b * 0),
+                           memory_space=vmem)
     in_specs = [per_pack((pack, N_pad, D_pad)),
                 per_pack((pack, 1, NP_pad)),
-                pl.BlockSpec((1, 1, NP_pad),
-                             lambda b: (b * 0, b * 0, b * 0),
-                             memory_space=vmem)]
+                sharedp]
+    if bounded:
+        in_specs += [shared3, shared3, sharedp, sharedp]
     if rf_mode == "scalar":
         in_specs.append(pl.BlockSpec((pack, 1, 1),
                                      lambda b: (b, b * 0, b * 0),
@@ -480,7 +598,8 @@ def _pack_batched(spec, has_stim, rf_mode, rf_shared, opts, pack,
             in_specs.append(shared3 if rf_shared
                             else per_pack((pack, N_pad, D_pad)))
     in_specs += [shared3, shared3]
-    args = [X, p2, pm] + list(rf_args) + [yv, wv]
+    args = ([X, p2, pm] + (list(bnds) if bounded else [])
+            + list(rf_args) + [yv, wv])
     if has_stim:
         S_pad = sts[0].shape[-1]
         sshared = pl.BlockSpec((1, N_pad, S_pad),
@@ -515,16 +634,20 @@ def _pack_batched(spec, has_stim, rf_mode, rf_shared, opts, pack,
 
 
 def make_packed_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
-                            pack: int):
+                            pack: int, lower=None, upper=None):
     """Same ``solve(XP, rf) -> LBFGSResult`` custom_vmap interface as
     ``solve_pallas.make_rung_solver`` (drop-in for the
     ``run_ladder(rung_solver=)`` hook under vmap), but vmapped batches
     run ``pack`` members per grid program. Unbatched calls use a pack
     of 1. Batches not divisible by ``pack`` are padded by replicating
-    the last member; padding outputs are dropped."""
+    the last member; padding outputs are dropped. ``lower``/``upper``:
+    optional flat bound vectors (packed XP layout, as from
+    ``api.build_bounds``) — the pack then runs the PROJECTION bounded
+    algorithm in-kernel, like the k=1 bounded kernel."""
     N_f, D, NP = spec.N_f, spec.D, spec.NP
     N_pad, D_pad, NP_pad, yv, wv, sts = embed_consts(spec)
     has_stim = spec.stim_f is not None
+    n_st = len(sts)
     _prep = make_prep(spec, N_pad, D_pad, NP_pad)
     pmask_np = np.zeros((1, NP_pad), np.float32)
     if spec.NPest:
@@ -532,6 +655,26 @@ def make_packed_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
     pmask = jnp.asarray(pmask_np)[None]           # (1, 1, NP_pad)
     pcols = (np.asarray(spec.pidx, dtype=np.int32)
              if spec.NPest else None)
+
+    bounded = lower is not None or upper is not None
+    bnds = ()
+    if bounded:
+        n = spec.n_state + spec.NPest
+        lo = (np.full(n, -np.inf) if lower is None
+              else np.asarray(lower, np.float64))
+        hi = (np.full(n, np.inf) if upper is None
+              else np.asarray(upper, np.float64))
+        loX_e = np.full((N_pad, D_pad), -np.inf, np.float32)
+        hiX_e = np.full((N_pad, D_pad), np.inf, np.float32)
+        loX_e[:N_f, :D] = lo[: spec.n_state].reshape(N_f, D)
+        hiX_e[:N_f, :D] = hi[: spec.n_state].reshape(N_f, D)
+        loP_e = np.full((1, NP_pad), -np.inf, np.float32)
+        hiP_e = np.full((1, NP_pad), np.inf, np.float32)
+        if spec.NPest:
+            loP_e[0, np.asarray(spec.pidx, np.int64)] = lo[spec.n_state:]
+            hiP_e[0, np.asarray(spec.pidx, np.int64)] = hi[spec.n_state:]
+        bnds = (jnp.asarray(loX_e)[None], jnp.asarray(hiX_e)[None],
+                jnp.asarray(loP_e)[None], jnp.asarray(hiP_e)[None])
 
     _cache = {}
 
@@ -544,9 +687,12 @@ def make_packed_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
         def solve_fn(Xp, p2, pm, *rest):
             rf_args = [r[None] for r in rest[:n_rf]]
             cy, cw = rest[n_rf], rest[n_rf + 1]
+            sts_c = rest[n_rf + 2: n_rf + 2 + n_st]
+            bnds_c = rest[n_rf + 2 + n_st:]
             outs = _pack_batched(spec, has_stim, rf_mode, False, opts,
                                  1, Xp[None], p2[None], pm, rf_args,
-                                 cy, cw, rest[n_rf + 2:])
+                                 cy, cw, sts_c,
+                                 bnds_c if bounded else None)
             return tuple(o[0] for o in outs)
 
         @solve_fn.def_vmap
@@ -584,13 +730,16 @@ def make_packed_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
                     rf_args = [padded(r) for r in rf_args]
             outs = _pack_batched(spec, has_stim, rf_mode, rf_shared,
                                  opts, pack, Xp, p2, pmv, rf_args,
-                                 cy, cw, consts[2:])
+                                 cy, cw, consts[2: 2 + n_st],
+                                 tuple(consts[2 + n_st:]) if bounded
+                                 else None)
             if pad:
                 outs = tuple(o[:B] for o in outs)
             return outs, tuple(True for _ in outs)
 
         def call(Xp, p2, rf_args):
-            return solve_fn(Xp, p2, pmask, *rf_args, yv, wv, *sts)
+            return solve_fn(Xp, p2, pmask, *rf_args, yv, wv, *sts,
+                            *bnds)
 
         _cache[rf_mode] = call
         return call
