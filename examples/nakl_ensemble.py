@@ -256,7 +256,7 @@ def main():
     jax.config.update("jax_enable_x64", True)   # phase 2 needs f64; the
     # phase-1 ensemble stays f32 via explicit array dtypes
     import jax.numpy as jnp
-    from varanneal_tpu.models import nakl, NAKL_P_TRUE, NAKL_PNAMES
+    from varanneal_tpu.models import NAKL_P_TRUE, NAKL_PNAMES
     from varanneal_tpu.twin import nakl_twin
     from varanneal_tpu.ops import build_spec, make_action
     from varanneal_tpu.opt import LBFGSOptions
@@ -355,18 +355,8 @@ def main():
               f"{'' if args.box_shrink_all else ': Cm+conductances'})")
     bounds = STATE_BOUNDS + pbounds
 
-    P_base = np.asarray(NAKL_P_TRUE, dtype=np.float64)
-    model_f = nakl
-    if LOG_IDX:
-        P_base = P_base.copy()
-        P_base[list(LOG_IDX)] = np.log(P_base[list(LOG_IDX)])
-        _log_arr = jnp.asarray(LOG_IDX)
-
-        def model_f(t, x, p):
-            pp, st = p if isinstance(p, tuple) else (p, None)
-            pp = jnp.asarray(pp)
-            pl = pp.at[..., _log_arr].set(jnp.exp(pp[..., _log_arr]))
-            return nakl(t, x, pl if st is None else (pl, st))
+    from varanneal_tpu.models import nakl_log_model
+    model_f, P_base = nakl_log_model(LOG_IDX)
 
     def p_linear(p_est):
         """Estimated subvector back to linear scale for reporting/saving."""
@@ -485,23 +475,10 @@ def main():
         # ---- phase 1: f32 ensemble, chunked -----------------------------
         rng = np.random.default_rng(seed)
         N_f = spec.N_f
-        # per-protocol data voltage on the model grid + steady-state gate
-        # paths slaved to it (kinetic parameters are known when estimating
-        # conductances/reversals; in the 19-param mode this is still the
-        # best prior guess)
-        Vfs, gates_ss_k = [], []
-        for tk in tws:
-            V_fk = np.interp(np.arange(N_f) / 2.0, np.arange(N),
-                             tk["V"][:, 0])
-            Vfs.append(V_fk)
-
-            def a_inf(va, dva, V_fk=V_fk):
-                return 0.5 * (1.0 + np.tanh((V_fk - va) / dva))
-
-            gates_ss_k.append(
-                [a_inf(NAKL_P_TRUE[7], NAKL_P_TRUE[8]),    # m
-                 a_inf(NAKL_P_TRUE[11], NAKL_P_TRUE[12]),  # h
-                 a_inf(NAKL_P_TRUE[15], NAKL_P_TRUE[16])])  # n
+        # per-protocol data voltage on the model grid (the library's
+        # nakl_ensemble_inits slaves the gate paths to it)
+        Vfs = [np.interp(np.arange(N_f) / 2.0, np.arange(N),
+                         tk["V"][:, 0]) for tk in tws]
         # optional warm parameter seeding from a prior (shorter-record)
         # campaign: top members by final action, tiled over the ensemble
         # with multiplicative-scale jitter — the two-stage pipeline
@@ -528,39 +505,12 @@ def main():
             seed_pool = s_xp[order_s[:top], sl_s]
             print(f"seeding parameter draws from {args.seed_params}: "
                   f"top {top} members (of {s_xp.shape[0]})")
-        xp0s = []
-        for bi in range(B):
-            if seed_pool is not None:
-                base_pe = seed_pool[bi % seed_pool.shape[0]]
-                # jitter in the ESTIMATION scale (log params move
-                # multiplicatively), clipped back into the box
-                pe = [float(np.clip(v + rng.normal(0.0, args.seed_jitter
-                                                   * (b[1] - b[0])),
-                                    b[0], b[1]))
-                      for v, b in zip(base_pe, pbounds)]
-            else:
-                pe = [rng.uniform(*b) for b in pbounds]
-            pfull = np.asarray(NAKL_P_TRUE, dtype=np.float64).copy()
-            pfull[Pidx] = pe
-            blocks = []
-            for V_fk, gss in zip(Vfs, gates_ss_k):
-                if args.gates_random:
-                    gates = [rng.uniform(0, 1, N_f) for _ in range(3)]
-                else:
-                    if args.gates_own_ss:
-                        # slave gates to the MEMBER's kinetics draw: the
-                        # member starts dynamically self-consistent
-                        def a_inf(va, dva, V_fk=V_fk):
-                            return 0.5 * (1.0 + np.tanh((V_fk - va) / dva))
-                        gss = [a_inf(pfull[7], pfull[8]),
-                               a_inf(pfull[11], pfull[12]),
-                               a_inf(pfull[15], pfull[16])]
-                    # steady-state gates + small per-member jitter
-                    gates = [np.clip(g + rng.normal(0, 0.05, N_f), 0, 1)
-                             for g in gss]
-                blocks.append(np.column_stack([V_fk] + gates).ravel())
-            xp0s.append(np.concatenate(blocks + [pe]).astype(p1_dtype))
-        xp_np0 = np.stack(xp0s)
+        from varanneal_tpu.models import nakl_ensemble_inits
+        xp_np0 = nakl_ensemble_inits(
+            rng, B, pbounds, Vfs, pidx=Pidx,
+            gates_random=args.gates_random,
+            gates_own_ss=args.gates_own_ss, seed_pool=seed_pool,
+            seed_jitter=args.seed_jitter, dtype=p1_dtype)
         if own:
             print(f"MAP prior: lambda={args.param_prior}, "
                   f"width={args.prior_w} box-widths, center=own draw "

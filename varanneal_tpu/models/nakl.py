@@ -163,3 +163,92 @@ def nakl(t, x, p):
     dh = _gate(V, h, vh, dvh, th0, th1)
     dn = _gate(V, n, vn, dvn, tn0, tn1)
     return jnp.concatenate([dV, dm, dh, dn], axis=-1)
+
+
+def nakl_log_model(log_idx):
+    """Log-space estimation reparameterization (round-3 measured recipe,
+    promoted from ``examples/nakl_ensemble.py`` in round 4): the SH
+    action is ~4 decades less sensitive to kinetic-TIMESCALE error than
+    to conductance error per unit rf (benchmarks/nakl_fe_anisotropy.py),
+    and in linear scale the under-priced rungs pin tau (and gL) at a box
+    edge; estimating those coordinates in log space makes their moves
+    multiplicative (scale-free curvature, symmetric box, log-uniform
+    draws).
+
+    ``log_idx``: full-parameter-vector indices estimated in log space
+    (e.g. ``nakl_param_boxes(...)[1]``). Returns ``(model_f, P_base)``:
+    a model callable that exponentiates those coordinates before the
+    NaKL dynamics, and the truth vector with the same coordinates
+    logged (the estimation-scale base for ``build_spec(P=...)``)."""
+    P_base = np.asarray(NAKL_P_TRUE, dtype=np.float64).copy()
+    if not log_idx:
+        return nakl, P_base
+    P_base[list(log_idx)] = np.log(P_base[list(log_idx)])
+    log_arr = jnp.asarray(tuple(log_idx))
+
+    def model_f(t, x, p):
+        pp, st = p if isinstance(p, tuple) else (p, None)
+        pp = jnp.asarray(pp)
+        pl = pp.at[..., log_arr].set(jnp.exp(pp[..., log_arr]))
+        return nakl(t, x, pl if st is None else (pl, st))
+
+    return model_f, P_base
+
+
+def nakl_ss_gates(V_f, p=NAKL_P_TRUE):
+    """Steady-state gate paths slaved to a voltage trace: [m_inf(V),
+    h_inf(V), n_inf(V)] for the kinetics in full parameter vector ``p``
+    (round-2 measured recipe: random gate paths land in V-compensated
+    basins; slaving the initial gates to the data voltage does not)."""
+    V_f = np.asarray(V_f, np.float64)
+    p = np.asarray(p, np.float64)
+
+    def a_inf(va, dva):
+        return 0.5 * (1.0 + np.tanh((V_f - va) / dva))
+
+    return [a_inf(p[7], p[8]), a_inf(p[11], p[12]), a_inf(p[15], p[16])]
+
+
+def nakl_ensemble_inits(rng, B, pbounds, Vfs, *, pidx,
+                        gates_random=False, gates_own_ss=False,
+                        seed_pool=None, seed_jitter=0.03,
+                        dtype=np.float32):
+    """Build the (B, n) packed ensemble of the measured NaKL campaign
+    recipe (promoted from ``examples/nakl_ensemble.py``): per member, a
+    parameter draw (uniform from the estimation boxes, or jittered from
+    a ``seed_pool`` of prior-campaign estimates), with per-protocol
+    state blocks of the data voltage + steady-state gate paths (slaved
+    to the TRUTH kinetics, or to the member's OWN kinetics draw with
+    ``gates_own_ss`` — each member then starts dynamically
+    self-consistent) + small gate jitter.
+
+    ``Vfs``: list of per-protocol model-grid voltages (len K, each
+    (N_f,)); ``pbounds``: estimation-scale boxes for ``pidx``. The RNG
+    call sequence is part of the campaign-reproducibility contract
+    (saved seeds rebuild identical draws) — do not reorder."""
+    n_f = len(Vfs[0])
+    gates_ss_truth = [nakl_ss_gates(V_fk) for V_fk in Vfs]
+    xp0s = []
+    for bi in range(B):
+        if seed_pool is not None:
+            base_pe = seed_pool[bi % seed_pool.shape[0]]
+            pe = [float(np.clip(v + rng.normal(0.0, seed_jitter
+                                               * (b[1] - b[0])),
+                                b[0], b[1]))
+                  for v, b in zip(base_pe, pbounds)]
+        else:
+            pe = [rng.uniform(*b) for b in pbounds]
+        pfull = np.asarray(NAKL_P_TRUE, dtype=np.float64).copy()
+        pfull[list(pidx)] = pe
+        blocks = []
+        for V_fk, gss in zip(Vfs, gates_ss_truth):
+            if gates_random:
+                gates = [rng.uniform(0, 1, n_f) for _ in range(3)]
+            else:
+                if gates_own_ss:
+                    gss = nakl_ss_gates(V_fk, pfull)
+                gates = [np.clip(g + rng.normal(0, 0.05, n_f), 0, 1)
+                         for g in gss]
+            blocks.append(np.column_stack([V_fk] + gates).ravel())
+        xp0s.append(np.concatenate(blocks + [pe]).astype(dtype))
+    return np.stack(xp0s)
