@@ -24,7 +24,12 @@ at equal quality.
 
 Usage (TPU testbed):
   PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bounded_solve_ab.py
-Env knobs: B (32), NBETA (21), N (1001), MAXITER (100), CHUNK (3).
+Env knobs: B (32), NBETA (21), N (251), MAXITER (60), CHUNK (3).
+N defaults to 251: the fused kernel's VMEM envelope caps the SH record
+at N_pad ~ 540 ((m+51) blocks of (N_pad, 128) inside 15.5 MB — the
+full-length N=3001/6001 campaign records can never fit the whole-solve
+kernel; this A/B measures the screen RECIPE shape at the longest
+record the envelope serves, and its result is scoped accordingly).
 Writes /tmp/bounded_ab.json.
 """
 import json
@@ -38,8 +43,8 @@ import jax.numpy as jnp
 
 B = int(os.environ.get("B", 32))
 NBETA = int(os.environ.get("NBETA", 21))
-N = int(os.environ.get("N", 1001))
-MAXITER = int(os.environ.get("MAXITER", 100))
+N = int(os.environ.get("N", 251))
+MAXITER = int(os.environ.get("MAXITER", 60))
 CHUNK = int(os.environ.get("CHUNK", 3))
 
 STATE_BOUNDS = [(-150., 70.), (0., 1.), (0., 1.), (0., 1.)]
