@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 B = int(os.environ.get("B", 32))
 NBETA = int(os.environ.get("NBETA", 21))
-N = int(os.environ.get("N", 251))
+N = int(os.environ.get("N", 201))
 MAXITER = int(os.environ.get("MAXITER", 60))
 CHUNK = int(os.environ.get("CHUNK", 3))
 

@@ -58,17 +58,18 @@ def set_interpret(flag: bool):
 def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
                    dtype=np.float32, bounded=False) -> bool:
     """Static predicate. VMEM model: the k=1 kernel's calibrated
-    (m + 45|51)-block footprint is ~per-member state (vag residuals,
+    (m + 45|64)-block footprint is ~per-member state (vag residuals,
     line-search carries, history) except the shared consts/shift
-    matrix, so a k-pack costs ~k * (m + 45|51) blocks + N_pad^2 (+2
-    shared bound blocks when bounded)."""
+    matrix, so a k-pack costs ~k * (m + 45|64) blocks + N_pad^2 (+2
+    shared bound blocks when bounded; bounded fixed footprint measured
+    round-4, see solve_pallas.solve_supported)."""
     if pack < 1 or opts.m > 8:
         return False
     if not ag_supported(spec, rf, dtype):
         return False
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
-    fixed = 51 if bounded else 45
+    fixed = 64 if bounded else 45
     vmem = ((pack * (opts.m + fixed) + (2 if bounded else 0))
             * N_pad * D_pad + N_pad * N_pad) * 4
     if vmem > int(15.5 * 2 ** 20):

@@ -131,15 +131,17 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
     shape (D=20, ~4.4 MB) and D<=384 (<=13 MB at m=5) stay supported,
     D_pad=512 problems fall back to the generic loop. Bounded adds the
     two shared bound blocks plus the projected-LS trial carries:
-    measured on hardware (see PARITY round-4) the fixed footprint rises
-    by ~6 blocks — modeled as (m + 51)."""
+    MEASURED on hardware (round 4, NaKL SH N_pad=504/m=5: Mosaic
+    reported 16.66 MB = ~68 blocks — caught by the compile probe below
+    on its first real outing) the bounded fixed footprint is ~63
+    blocks; modeled as (m + 64)."""
     if not ag_supported(spec, rf, dtype):
         return False
     if opts.m > 8:
         return False
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
-    fixed = 51 if bounded else 45
+    fixed = 64 if bounded else 45
     budget = int(15.5 * 2 ** 20)
     vmem = ((opts.m + fixed) * N_pad * D_pad + N_pad * N_pad) * 4
     if vmem > budget:
