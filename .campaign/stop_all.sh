@@ -4,7 +4,7 @@
 # Never pattern-kill — the session's own command line matches patterns.
 # Covers: session wrappers (/tmp/*.pid), run_screen per-TAG pids
 # ($DIR/<TAG>.pid), and legacy /tmp/nakl_r3 pids if present.
-for f in /tmp/session12.pid /tmp/session11.pid /tmp/session10.pid /tmp/shrink15_wrapper.pid \
+for f in /tmp/session13.pid /tmp/session12.pid /tmp/session11.pid /tmp/session10.pid /tmp/shrink15_wrapper.pid \
          /tmp/avd32.pid /tmp/avd32b.pid \
          /root/repo/.campaign/ckpt/*.pid /tmp/nakl_r3/*.pid; do
   [ -f "$f" ] || continue

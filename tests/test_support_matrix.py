@@ -30,7 +30,20 @@ EXPECT = {
     "compensated f32 sums": ("error", "error", "fallback"),
     "f64": ("served", "error", "fallback"),
     "multi-protocol joint estimation": ("n/a", "n/a", "n/a"),
-    "VMEM overflow (D=400 fused)": ("served", "served", "fallback"),
+    "campaign-length record (N=1001 SH)": ("served", "served",
+                                           "served"),
+    "large D fused (D=400, N=161)": ("served", "served", "served"),
+}
+
+# auto-column pins for the round-4 measured-win gates (solve_preferred
+# N_pad <= 256; ag D >= 256)
+EXPECT_AUTO = {
+    "baseline (trapezoid f32 D=20)": "xla + fused",
+    "large D (one-step, D=256)": "ag + fused",
+    "campaign-length record (N=1001 SH)": "xla + generic",
+    "large D fused (D=400, N=161)": "ag + fused",
+    "box bounds (projection)": "xla + fused",
+    "box bounds (explicit subspace)": "xla + generic",
 }
 
 
@@ -38,6 +51,9 @@ def test_every_cell_pinned():
     rows = support_matrix()
     got = {r.feature: (r.fe, r.ag, r.fused) for r in rows}
     assert got == EXPECT
+    auto = {r.feature: r.auto for r in rows}
+    for k, v in EXPECT_AUTO.items():
+        assert auto[k] == v, (k, auto[k])
     # the generated table renders every row
     md = markdown_table()
     for name in EXPECT:

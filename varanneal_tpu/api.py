@@ -314,10 +314,15 @@ class Annealer:
         if solver != "generic":
             from varanneal_tpu.kernels import solve_pallas
             bounded_prob = lower is not None
+            # auto serves only the measured-WIN regime (solve_preferred:
+            # + the N_pad gate from the round-4 A/B); an explicit
+            # solver='fused' forces anywhere the kernel is supported
+            gate = (solve_pallas.solve_preferred if solver == "auto"
+                    else solve_pallas.solve_supported)
             ok = (method in ("L-BFGS-B", "LBFGS")
                   and not compensated
-                  and solve_pallas.solve_supported(
-                      spec, rf0, opts, dtype=dtype, bounded=bounded_prob))
+                  and gate(spec, rf0, opts, dtype=dtype,
+                           bounded=bounded_prob))
             if ok and solver == "auto" and engine not in ("auto", "ag"):
                 # the fused solver evaluates the action via its in-kernel
                 # ag vag; honor an explicit different engine choice

@@ -72,7 +72,8 @@ def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
     fixed = 64 if bounded else 45
     vmem = ((pack * (opts.m + fixed) + (2 if bounded else 0))
             * N_pad * D_pad + N_pad * N_pad) * 4
-    if vmem > int(15.5 * 2 ** 20):
+    from varanneal_tpu.kernels.solve_pallas import _VMEM_LIMIT
+    if vmem > int(0.8 * (_VMEM_LIMIT or 16 * 2 ** 20)):
         return False
     if _INTERPRET[0]:
         return True
@@ -628,10 +629,14 @@ def _pack_batched(spec, has_stim, rf_mode, rf_shared, opts, pack,
                     pltpu.VMEM((m, N_pad, D_pad), X.dtype),
                     pltpu.VMEM((m, 1, NP_pad), X.dtype),
                     pltpu.VMEM((m, 1, NP_pad), X.dtype)]
+    kw = {}
+    from varanneal_tpu.kernels import solve_pallas as _sp
+    if not _INTERPRET[0] and _sp._VMEM_LIMIT > 0:
+        kw["compiler_params"] = _sp._compiler_params()
     return pl.pallas_call(
         kern, grid=(G,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, scratch_shapes=scratch,
-        interpret=_INTERPRET[0])(*args)
+        interpret=_INTERPRET[0], **kw)(*args)
 
 
 def make_packed_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,

@@ -66,20 +66,39 @@ def set_interpret(flag: bool):
 
 
 # ---------------------------------------------------------------------------
-# VMEM self-calibration (round-4, VERDICT r3 #8): the analytic
-# (m + 45|51)-block model below is calibrated against ONE libtpu build's
-# measured scoped-stack usage; a runtime upgrade can silently shift the
-# fixed footprint and turn a predicted-OK shape into a compile-time
-# Mosaic OOM. For shapes in the RISK BAND (predicted usage above
-# _PROBE_FRACTION of the budget) we therefore confirm with a one-shot
-# REAL compile of the kernel at that shape, cached per
-# (shape, m, bounded, rf-rank) per process (and across processes via
-# the persistent JAX compilation cache). Small shapes — the bench and
-# every campaign config — stay purely analytic (no probe cost).
+# VMEM policy (round-4).
+#
+# Mosaic's default SCOPED-vmem budget is 16 MB — a scheduling budget,
+# not the hardware (a v5e core has 128 MB of VMEM). Round-4 hardware
+# probing showed the scoped-stack usage of this kernel is scheduler-
+# dominated and NOT a clean per-block function of the shape (measured:
+# 16.0–21.8 MB across N_pad 208→504, bounded AND unbounded SH — every
+# shape just over the default limit), so the kernels now request a
+# raised budget (``_VMEM_LIMIT``, via CompilerParams.vmem_limit_bytes)
+# and the support predicate works in two layers:
+#   1. the analytic block model (below) rejects clearly-impossible
+#      shapes against a conservative fraction of the raised limit;
+#   2. any shape whose prediction exceeds ``_PROBE_BYTES`` (~ where the
+#      DEFAULT budget used to bite) is confirmed by a one-shot REAL
+#      compile, cached per (shape, m, bounded, rf-rank) per process —
+#      and across processes via the persistent JAX compilation cache.
+# Small shapes — the bench and every campaign screen — stay purely
+# analytic (no probe cost). This is the VERDICT r3 #8 self-calibration:
+# a libtpu change shifts measured usage, the probe flips the predicate
+# instead of crashing a ladder.
 # ---------------------------------------------------------------------------
 
-_PROBE_FRACTION = 0.6
+import os as _os
+
+_VMEM_LIMIT = int(_os.environ.get("VARANNEAL_VMEM_LIMIT",
+                                  100 * 2 ** 20))
+_PROBE_BYTES = 12 * 2 ** 20
 _probe_cache = {}
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pt
+    return _pt.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _compile_kernel(spec, rf, opts, bounded):
@@ -142,7 +161,9 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
     N_pad = _pad_to(spec.N_f, 8)
     D_pad = _pad_to(spec.D, 128)
     fixed = 64 if bounded else 45
-    budget = int(15.5 * 2 ** 20)
+    # VARANNEAL_VMEM_LIMIT=0 means "no CompilerParams" (legacy default
+    # Mosaic budget), not "no budget"
+    budget = int(0.8 * (_VMEM_LIMIT or 16 * 2 ** 20))
     vmem = ((opts.m + fixed) * N_pad * D_pad + N_pad * N_pad) * 4
     if vmem > budget:
         return False
@@ -153,11 +174,28 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
             return False
     except Exception:  # pragma: no cover
         return False
-    if vmem > _PROBE_FRACTION * budget:
-        # near the calibrated limit: confirm with a one-shot real
-        # compile (cached) so a libtpu shift cannot crash a ladder
+    if vmem > _PROBE_BYTES:
+        # above the regime the DEFAULT Mosaic budget used to serve:
+        # confirm with a one-shot real compile (cached) — measured
+        # usage is scheduler-dominated and not hand-modelable here
         return _probe_ok(spec, rf, opts, bounded)
     return True
+
+
+def solve_preferred(spec: ProblemSpec, rf, opts: LBFGSOptions,
+                    dtype=np.float32, bounded=False) -> bool:
+    """Measured-WIN predicate for ``solver='auto'`` (round-4 bounded
+    A/B, PARITY.md): the in-kernel action evaluates the FE stencil via
+    (N_pad, N_pad) shift matmuls — O(N_pad^2 D) per eval vs the XLA
+    action's O(N_pad D) — so the kernel's per-launch win is overtaken
+    by the quadratic term as the record grows. Measured at B=32:
+    N_pad=168 (L96 trap): 3.2x vs the generic projection loop (31.9x
+    vs subspace); N_pad=208 (NaKL SH): 1.06x; N_pad=408: 0.87x. The
+    gate serves the kernel at N_pad <= 256; ``solver='fused'`` still
+    FORCES it anywhere :func:`solve_supported` holds."""
+    return (solve_supported(spec, rf, opts, dtype=dtype,
+                            bounded=bounded)
+            and _pad_to(spec.N_f, 8) <= 256)
 
 
 def _cubic_min(a, fa, dfa, b, fb, dfb):
@@ -627,10 +665,13 @@ def _solve_batched(spec, has_stim, rf_mode, rf_shared, opts,
         pltpu.VMEM((m, 1, NP_pad), X.dtype),
         pltpu.VMEM((m, 1, NP_pad), X.dtype),
     ]
+    kw = {}
+    if not _INTERPRET[0] and _VMEM_LIMIT > 0:
+        kw["compiler_params"] = _compiler_params()
     return pl.pallas_call(
         kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, scratch_shapes=scratch,
-        interpret=_INTERPRET[0])(*args)
+        interpret=_INTERPRET[0], **kw)(*args)
 
 
 def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
