@@ -151,13 +151,38 @@ def _run_child(results, name, cmd, timeout):
           flush=True)
 
 
+def _wait_worker(max_wait=5400):
+    """Worker-recovery discipline (CLAUDE.md): after a crash case the
+    TPU worker can take 20-70 min to reconnect; probe in a fresh child
+    until a trivial dispatch succeeds so the NEXT case measures the
+    kernel, not the outage."""
+    import time
+    t0 = time.time()
+    probe = ("import jax, jax.numpy as jnp; "
+             "assert float(jnp.ones((8, 8)).sum()) == 64.0")
+    while time.time() - t0 < max_wait:
+        try:
+            p = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=300)
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# worker down {int(time.time() - t0)}s; waiting",
+              flush=True)
+        time.sleep(120)
+    return False
+
+
 def main():
     results = {}
     batch_mode = "--batch-bisect" in sys.argv
     if batch_mode:
-        # worker-recovery discipline (CLAUDE.md): after a crash case the
-        # TPU worker may need minutes to reconnect — probe before each
         for name, N, Bn, maxiter in BATCH_CASES:
+            if not _wait_worker():
+                results[name] = {"ok": False, "rc": -2,
+                                 "tail": "worker never recovered"}
+                continue
             cmd = [sys.executable, "-c", BATCH_CHILD, name, str(N),
                    str(Bn), str(maxiter)]
             _run_child(results, name, cmd, 3600)
