@@ -24,13 +24,13 @@ at equal quality.
 
 Usage (TPU testbed):
   PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/bounded_solve_ab.py
-Env knobs: B (32), NBETA (21), N (251), MAXITER (60), CHUNK (3).
-N defaults to 251: the fused kernel's VMEM envelope caps the SH record
-at N_pad ~ 540 ((m+51) blocks of (N_pad, 128) inside 15.5 MB — the
-full-length N=3001/6001 campaign records can never fit the whole-solve
-kernel; this A/B measures the screen RECIPE shape at the longest
-record the envelope serves, and its result is scoped accordingly).
-Writes /tmp/bounded_ab.json.
+Env knobs: B (32), NBETA (21), N (201), MAXITER (60), CHUNK (3).
+N defaults to 201 — inside the kernel's measured-win gate boundary
+(solve_preferred N_pad <= 256; the measured table in PARITY spans
+N = 101/201 here plus the L96 small-shape variant). Full-length
+N=3001/6001 campaign records stay on the generic solvers regardless:
+past the win gate (the in-kernel O(N^2 D) shift matmuls) even though
+the raised Mosaic budget may compile them. Writes /tmp/bounded_ab.json.
 """
 import json
 import os

@@ -154,6 +154,37 @@ def test_safe_polish_batch_cpu():
     assert workflow.safe_polish_batch() == 0
 
 
+def test_estimate_polish_betas_use_ladder_values(monkeypatch):
+    """Round-4 review fix: the polish ladder continues in BETA-VALUE
+    space — with betas != arange(n_beta) the polish must resume at
+    betas[snapshot_beta] and extrapolate the extra rungs at the
+    ladder's spacing (not restart at the raw rung index, which
+    de-anneals the snapshot by the offset)."""
+    tw, spec, make_problem, pbounds = _problem(N=41)
+    xp0 = _draw_ensemble(spec, tw, pbounds, 2, seed=1)
+    betas = np.arange(10.0, 16.0, dtype=np.float32)     # rungs 10..15
+    rf0 = np.broadcast_to(
+        1e-9 * np.array([1.0, 1e3, 1e3, 1e3]),
+        (spec.N_f - 1, 4)).astype(np.float32)
+    captured = {}
+    real_polish = workflow.polish
+
+    def spy(action, parts, src, pol_betas, *a, **kw):
+        captured["betas"] = np.asarray(pol_betas)
+        return real_polish(action, parts, src, pol_betas, *a, **kw)
+
+    monkeypatch.setattr(workflow, "polish", spy)
+    workflow.estimate(
+        make_problem, xp0, betas, jnp.asarray(rf0), 2.0, n_params=3,
+        opts=LBFGSOptions(maxiter=10, m=4),
+        snapshot_beta=4, polish_top=1, polish_extra_betas=2,
+        polish_opts=LBFGSOptions(maxiter=10))
+    # snapshot taken after rung index 4 -> polish resumes at beta
+    # VALUE betas[4]=14, runs 14, 15, then extrapolates 16, 17
+    np.testing.assert_allclose(captured["betas"],
+                               [14.0, 15.0, 16.0, 17.0])
+
+
 def test_phase1_anchor_requires_nparams():
     tw, spec, make_problem, pbounds = _problem(N=41)
     action, parts, lo, hi = make_problem(np.float32)

@@ -55,6 +55,43 @@ def set_interpret(flag: bool):
     _INTERPRET[0] = bool(flag)
 
 
+_probe_cache = {}
+
+
+def _compile_pack(spec, rf, opts, pack, bounded):
+    """Compile (not run) the packed kernel at this shape under vmap.
+    Split out so tests can monkeypatch a simulated OOM."""
+    n = spec.n_state + spec.NPest
+    lo = hi = None
+    if bounded:
+        lo = np.full(n, -1e6, np.float32)
+        hi = np.full(n, 1e6, np.float32)
+    solver = make_packed_rung_solver(spec, opts, pack,
+                                     lower=lo, upper=hi)
+    XP = jnp.zeros((pack, n), jnp.float32)
+    rf_c = jnp.asarray(np.asarray(rf, np.float32))
+    jax.jit(jax.vmap(lambda z: solver(z, rf_c))).lower(XP).compile()
+
+
+def _probe_ok(spec, rf, opts, pack, bounded) -> bool:
+    key = (spec.N_f, spec.D, spec.NP, spec.NPest, spec.disc,
+           np.ndim(rf), opts.m, int(pack), bool(bounded),
+           spec.stim_f is not None)
+    if key not in _probe_cache:
+        try:
+            _compile_pack(spec, rf, opts, pack, bounded)
+            _probe_cache[key] = True
+        except Exception as e:
+            msg = str(e)
+            if any(s in msg for s in
+                   ("RESOURCE_EXHAUSTED", "Ran out of memory",
+                    "scoped", "vmem", "VMEM")):
+                _probe_cache[key] = False
+            else:           # transient worker failure: don't cache
+                return False
+    return _probe_cache[key]
+
+
 def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
                    dtype=np.float32, bounded=False) -> bool:
     """Static predicate. VMEM model: the k=1 kernel's calibrated
@@ -72,15 +109,23 @@ def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
     fixed = 64 if bounded else 45
     vmem = ((pack * (opts.m + fixed) + (2 if bounded else 0))
             * N_pad * D_pad + N_pad * N_pad) * 4
-    from varanneal_tpu.kernels.solve_pallas import _VMEM_LIMIT
+    from varanneal_tpu.kernels.solve_pallas import (_VMEM_LIMIT,
+                                                    _PROBE_BYTES)
     if vmem > int(0.8 * (_VMEM_LIMIT or 16 * 2 ** 20)):
         return False
     if _INTERPRET[0]:
         return True
     try:
-        return jax.default_backend() in ("tpu",)
+        if jax.default_backend() not in ("tpu",):
+            return False
     except Exception:  # pragma: no cover
         return False
+    if vmem > _PROBE_BYTES:
+        # same two-layer policy as solve_supported: measured scoped
+        # usage is scheduler-dominated — confirm with a cached real
+        # compile instead of crashing a bench/campaign mid-run
+        return _probe_ok(spec, rf, opts, pack, bounded)
+    return True
 
 
 def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
@@ -295,9 +340,11 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
         gp_st_n = jnp.where(accept, gp_a, gp_st)
         return s_new, gX_st_n, gp_st_n
 
-    def shared_line_search(xs, ps, ds_X, ds_p, fs, gXs, gps, a_inits):
-        """k line searches in one while loop. Returns per-member
-        (a, f, gX, gp, nfev, ok)."""
+    def shared_line_search(xs, ps, ds_X, ds_p, fs, gXs, gps, a_inits,
+                           runs):
+        """k line searches in one while loop; ``runs[j]`` False members
+        (outer-converged — vmap masking) never evaluate. Returns
+        per-member (a, f, gX, gp, nfev, ok)."""
         dphi0s = [tdot(gXs[j], gps[j], ds_X[j], ds_p[j])
                   for j in range(k)]
         states = [ls_init(j, fs[j], dphi0s[j], a_inits[j])
@@ -305,21 +352,21 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
         gX_sts = list(gXs)
         gp_sts = list(gps)
 
-        def active(s):
-            return ~(s[1] | s[2]) & (s[3] < opts.maxls)
+        def active(j, s):
+            return runs[j] & ~(s[1] | s[2]) & (s[3] < opts.maxls)
 
         def cond(carry):
             sts = carry[0]
-            acc = active(sts[0])
+            acc = active(0, sts[0])
             for j in range(1, k):
-                acc = acc | active(sts[j])
+                acc = acc | active(j, sts[j])
             return acc
 
         def body(carry):
             sts, gXl, gpl = carry
             sts_n, gXn, gpn = [], [], []
             for j in range(k):
-                run = active(sts[j])
+                run = active(j, sts[j])
                 s_new, gX_n, gp_n = ls_step(
                     j, sts[j], xs[j], ps[j], ds_X[j], ds_p[j], fs[j],
                     dphi0s[j], gXl[j], gpl[j])
@@ -364,7 +411,8 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
     # Mirrors solve_pallas's proj_ls, k members in one while loop; the
     # accept test rides the cond (recomputed from the carry) so the body
     # is one unconditional vag per active member.
-    def shared_proj_ls(xs, ps, ds_X, ds_p, fs, gXs, gps, a_inits):
+    def shared_proj_ls(xs, ps, ds_X, ds_p, fs, gXs, gps, a_inits,
+                       runs):
         def trial(j, a):
             return proj(xs[j] + a * ds_X[j], ps[j] + a * ds_p[j])
 
@@ -382,7 +430,9 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
                            gX_t, gp_t))
 
         def active(j, s):
-            return ~armijo_ok(j, s[2], s[3], s[4]) & (s[0] < opts.maxls)
+            # outer-converged members (runs[j] False) never loop
+            return (runs[j] & ~armijo_ok(j, s[2], s[3], s[4])
+                    & (s[0] < opts.maxls))
 
         def cond(carry):
             acc = active(0, carry[0])
@@ -472,12 +522,13 @@ def _pack_kernel(spec, has_stim, rf_mode, opts, k, bounded, *refs):
             hlens[j] == 0,
             jnp.minimum(one, 1.0 / jnp.maximum(gn1s[j], tiny_den)), one)
             for j in range(k)]
+        runs = [running(carry[j]) for j in range(k)]
         if bounded:
             ls_outs = shared_proj_ls(xs, ps, dXs, dps, fs, gXs, gps,
-                                     a_inits)
+                                     a_inits, runs)
         else:
             ls_outs = shared_line_search(xs, ps, dXs, dps, fs, gXs,
-                                         gps, a_inits)
+                                         gps, a_inits, runs)
         out = []
         for j in range(k):
             (X, p, f, gX, gp, dX, dp, gn1, head, hlen, niter, nfev,

@@ -60,11 +60,17 @@ class LBFGSOptions:
     # measured 0.311 vs 0.340 s/init on the canonical bench ladder)
     direction: str = "auto"
     # bound handling: 'auto' (default — 'subspace' for flat 1-D decision
-    # vectors, 'projection' for pytrees), 'subspace' (full L-BFGS-B:
-    # generalized Cauchy point + free-subspace direct solve,
-    # opt/lbfgsb.py — matches the reference's Fortran algorithm and
-    # measured 30x faster on bound-active problems), or 'projection'
-    # (active-set freezing + projected-path Armijo — works on any pytree)
+    # vectors, 'projection' for pytrees; NOTE the facade's
+    # solver='auto' additionally serves bounded problems in the fused
+    # Pallas kernel's win envelope with PROJECTION semantics — round-4
+    # A/B: identical basin statistics, 3.2-31.9x wall; pass an explicit
+    # 'subspace' to pin the full L-BFGS-B there), 'subspace' (full
+    # L-BFGS-B: generalized Cauchy point + free-subspace direct solve,
+    # opt/lbfgsb.py — matches the reference's Fortran algorithm;
+    # converges deeper per iteration, but measured 3-10x slower
+    # WALL-CLOCK than projection on TPU bounded ladders, PARITY round-4
+    # bounded A/B), or 'projection' (active-set freezing +
+    # projected-path Armijo — works on any pytree)
     bounded_algo: str = "auto"
 
 

@@ -252,19 +252,27 @@ def estimate(make_problem, xp0, betas, rf0, alpha, *, n_params: int,
             best = strip_anchors(best, nap)
         return EstimateResult(phase1=r1, polish=None, best=best,
                               best_A=float(r1.A[b, -1]), best_member=b)
-    n_beta = len(np.asarray(betas))
+    betas = np.asarray(betas, np.float64)
+    n_beta = len(betas)
     if r1.snapshot is not None:
         # rank at the snapshot rung; polish climbs snap..top+extra
         c = min(int(snapshot_beta) - 1, r1.A.shape[1] - 1)
         order_pol = np.argsort(r1.A[:, c])
         src = r1.snapshot
-        lo_beta = float(snapshot_beta)
+        lo_rung = int(snapshot_beta)
     else:
         order_pol = r1.order
         src = r1.XP
-        lo_beta = float(max(n_beta - 21, 0))
+        lo_rung = max(n_beta - 21, 0)
     picks = order_pol[: min(int(polish_top), src.shape[0])]
-    pol_betas = np.arange(lo_beta, float(n_beta + polish_extra_betas))
+    # continue the ladder in BETA-VALUE space: resume at the source
+    # state's rung VALUE and extrapolate the extra rungs at the
+    # ladder's own spacing (betas need not be arange(n_beta) — rung
+    # indices and beta values only coincide for unit-spaced 0-based
+    # ladders)
+    step = float(betas[-1] - betas[-2]) if n_beta > 1 else 1.0
+    extra = betas[-1] + step * np.arange(1, int(polish_extra_betas) + 1)
+    pol_betas = np.concatenate([betas[lo_rung:], extra])
     action64, parts64, lo64, hi64 = make_problem(polish_dtype)
     rf0_64 = np.asarray(rf0, polish_dtype)
     r2 = polish(action64, parts64, src, pol_betas, rf0_64, alpha,
