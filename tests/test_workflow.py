@@ -193,3 +193,167 @@ def test_phase1_anchor_requires_nparams():
         workflow.phase1(action, parts, xp0, np.arange(3, dtype=np.float32),
                         np.float32(1e-5), 2.0, lower=lo, upper=hi,
                         anchor_weight=1.0)
+
+
+# ---------------------------------------------------------------------------
+# round-5: fused-solver gate through the workflow (VERDICT r4 #3) and
+# transient-fault retry in polish (VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+from varanneal_tpu.twin import lorenz96_twin
+from varanneal_tpu.models import lorenz96
+from varanneal_tpu.kernels import solve_pallas
+
+
+def _l96_screen(N=41, dtype=np.float32):
+    tw = lorenz96_twin(D=20, N_data=N, n_obs=8)
+    spec = build_spec(lorenz96, 20, tw["Y"].astype(dtype), tw["t"],
+                      tw["Lidx"], tw["RM"], disc="trapezoid",
+                      P=np.array([4.0]), pidx=[0])
+    action, parts = make_action(spec)
+    return tw, spec, action, parts
+
+
+def test_phase1_fused_gate_interpret(monkeypatch):
+    """An unanchored small-shape screen with ``spec=`` passed picks the
+    fused whole-solve kernel under solver='auto' (interpret mode stands
+    in for the TPU backend) and its ladder records match the generic
+    loop (VERDICT r4 #3 Done criteria)."""
+    solve_pallas.set_interpret(True)
+    try:
+        from varanneal_tpu.parallel import random_ensemble_inits
+        tw, spec, action, parts = _l96_screen()
+        B, n_beta = 2, 4
+        xp0 = np.asarray(random_ensemble_inits(spec, B, seed=3,
+                                               dtype=np.float32))
+        betas = np.arange(n_beta, dtype=np.float32)
+        opts = LBFGSOptions(maxiter=25, m=5, pgtol=1e-4, ftol=1e-7,
+                            direction="two_loop")
+        calls = {"n": 0}
+        real = solve_pallas.make_rung_solver
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(solve_pallas, "make_rung_solver", spy)
+        r_f = workflow.phase1(action, parts, xp0, betas,
+                              np.float32(1e-4), 2.0, opts=opts,
+                              spec=spec, solver="auto")
+        assert calls["n"] == 1, "auto gate did not build the fused solver"
+        r_g = workflow.phase1(action, parts, xp0, betas,
+                              np.float32(1e-4), 2.0, opts=opts,
+                              spec=spec, solver="generic")
+        assert calls["n"] == 1
+        np.testing.assert_allclose(r_f.A, r_g.A, rtol=5e-4)
+        np.testing.assert_array_equal(r_f.order, r_g.order)
+    finally:
+        solve_pallas.set_interpret(False)
+
+
+def test_phase1_anchored_pins_generic(monkeypatch):
+    """anchor_weight > 0 must NOT serve the fused kernel (its in-kernel
+    action cannot see the anchor penalty); solver='fused' warns."""
+    solve_pallas.set_interpret(True)
+    try:
+        tw, spec, make_problem, pbounds = _problem(N=41)
+        action, parts, lo, hi = make_problem(np.float32)
+        xp0 = _draw_ensemble(spec, tw, pbounds, 2)
+        calls = {"n": 0}
+        monkeypatch.setattr(
+            solve_pallas, "make_rung_solver",
+            lambda *a, **k: calls.__setitem__("n", calls["n"] + 1))
+        with pytest.warns(UserWarning, match="anchor"):
+            workflow.phase1(action, parts, xp0,
+                            np.arange(2, dtype=np.float32),
+                            np.float32(1e-6), 2.0, lower=lo, upper=hi,
+                            opts=LBFGSOptions(maxiter=5, m=4),
+                            n_params=3, anchor_weight=1.0,
+                            spec=spec, solver="fused")
+        assert calls["n"] == 0
+    finally:
+        solve_pallas.set_interpret(False)
+
+
+def test_polish_retry_transient_fault(monkeypatch, tmp_path):
+    """A dispatch raising a transient runtime fault (the measured
+    worker-crash surface) is retried with resume from the batch
+    checkpoint; polish() completes (VERDICT r4 #4 Done criteria)."""
+    XlaRuntimeError = type("XlaRuntimeError", (RuntimeError,), {})
+    tw, spec, make_problem, pbounds = _problem(N=41)
+    action, parts, lo, hi = make_problem(np.float64)
+    xp0 = _draw_ensemble(spec, tw, pbounds, 2, seed=3, dtype=np.float64)
+    rf0 = np.broadcast_to(
+        1e-4 * np.array([1.0, 1e3, 1e3, 1e3]),
+        (spec.N_f - 1, 4)).astype(np.float64)
+    betas = np.arange(3, dtype=np.float64)
+    calls = {"n": 0}
+    real = workflow.run_ladder_checkpointed
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise XlaRuntimeError("UNAVAILABLE: TPU worker crashed")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(workflow, "_dispatch", flaky)
+    r = workflow.polish(action, parts, xp0, betas, jnp.asarray(rf0),
+                        2.0, lower=lo, upper=hi,
+                        opts=LBFGSOptions(maxiter=15, m=4), batch=0,
+                        retries=2, retry_wait=0.0,
+                        checkpoint_stem=str(tmp_path / "rt"))
+    assert calls["n"] == 2
+    assert r.A.shape == (2, 3)
+    assert np.all(np.isfinite(r.A))
+
+
+def test_polish_retry_programming_error_reraises(monkeypatch):
+    """Non-transient faults re-raise immediately — retry is for the
+    worker-crash surface, not for hiding bugs."""
+    tw, spec, make_problem, pbounds = _problem(N=41)
+    action, parts, lo, hi = make_problem(np.float64)
+    xp0 = _draw_ensemble(spec, tw, pbounds, 2, seed=3, dtype=np.float64)
+    calls = {"n": 0}
+
+    def broken(*a, **kw):
+        calls["n"] += 1
+        raise ValueError("shape bug")
+
+    monkeypatch.setattr(workflow, "_dispatch", broken)
+    with pytest.raises(ValueError, match="shape bug"):
+        workflow.polish(action, parts, xp0,
+                        np.arange(2, dtype=np.float64),
+                        np.float64(1e-4), 2.0, lower=lo, upper=hi,
+                        retries=3, retry_wait=0.0)
+    assert calls["n"] == 1
+
+
+def test_is_transient_classification():
+    XlaRuntimeError = type("XlaRuntimeError", (RuntimeError,), {})
+    assert workflow._is_transient(XlaRuntimeError("UNAVAILABLE"))
+    assert workflow._is_transient(XlaRuntimeError("anything"))
+    assert workflow._is_transient(RuntimeError("socket closed"))
+    assert not workflow._is_transient(ValueError("UNAVAILABLE"))
+    assert not workflow._is_transient(RuntimeError("plain failure"))
+    assert not workflow._is_transient(TypeError("bad arg"))
+
+
+def test_estimate_five_tuple_make_problem():
+    """make_problem may return (action, parts, lo, hi, spec) — the
+    spec feeds the shared solver gate (None-spec legacy 4-tuples keep
+    working, pinned by test_estimate_e2e)."""
+    tw, spec, make_problem, pbounds = _problem(N=41)
+
+    def make_problem5(dtype):
+        return make_problem(dtype) + (spec,)
+
+    xp0 = _draw_ensemble(spec, tw, pbounds, 2)
+    rf0 = np.broadcast_to(
+        1e-5 * np.array([1.0, 1e3, 1e3, 1e3]),
+        (spec.N_f - 1, 4)).astype(np.float32)
+    res = workflow.estimate(
+        make_problem5, xp0, np.arange(3, dtype=np.float32),
+        jnp.asarray(rf0), 2.0, n_params=3,
+        opts=LBFGSOptions(maxiter=10, m=4), polish_top=0)
+    assert np.isfinite(res.best_A)
+    assert res.best.shape == (spec.n_state + 3,)

@@ -307,46 +307,14 @@ class Annealer:
                                   pgtol=opts.pgtol, maxls=opts.maxls,
                                   **tnc_kw)
 
-        rung_solver = None
-        if solver not in ("auto", "generic", "fused"):
-            raise ValueError(f"solver must be auto/generic/fused, got "
-                             f"{solver!r}")
-        if solver != "generic":
-            from varanneal_tpu.kernels import solve_pallas
-            bounded_prob = lower is not None
-            # auto serves only the measured-WIN regime (solve_preferred:
-            # + the N_pad gate from the round-4 A/B); an explicit
-            # solver='fused' forces anywhere the kernel is supported
-            gate = (solve_pallas.solve_preferred if solver == "auto"
-                    else solve_pallas.solve_supported)
-            ok = (method in ("L-BFGS-B", "LBFGS")
-                  and not compensated
-                  and gate(spec, rf0, opts, dtype=dtype,
-                           bounded=bounded_prob))
-            if ok and solver == "auto" and engine not in ("auto", "ag"):
-                # the fused solver evaluates the action via its in-kernel
-                # ag vag; honor an explicit different engine choice
-                ok = False
-            if ok and bounded_prob and opts.bounded_algo == "subspace":
-                # DELIBERATE policy (round 4, VERDICT r3 #1): under the
-                # default bounded_algo='auto', a bounded problem in the
-                # fused envelope runs the PROJECTION algorithm in-kernel
-                # (measured: identical basin statistics, 3.2-31.9x wall
-                # vs the generic solvers in the win regime — PARITY
-                # bounded A/B); both algorithms converge to the same
-                # minima but take different iterates. An EXPLICIT
-                # bounded_algo='subspace' pins the full L-BFGS-B
-                # (generic) for iterate-level reference parity.
-                ok = False
-            if ok:
-                rung_solver = solve_pallas.make_rung_solver(
-                    spec, opts, lower=lower, upper=upper)
-            elif solver == "fused":
-                warnings.warn(
-                    "solver='fused' unsupported for this problem "
-                    "(dtype / disc / VMEM envelope / backend / "
-                    "compensated / explicit subspace bounds); using the "
-                    "generic solver", stacklevel=2)
+        # solver='auto'/'fused'/'generic' gate — shared with the staged
+        # workflow (kernels.solve_pallas.pick_rung_solver) so the two
+        # entry points can never drift
+        from varanneal_tpu.kernels.solve_pallas import pick_rung_solver
+        rung_solver = pick_rung_solver(
+            spec, rf0, opts, solver=solver, lower=lower, upper=upper,
+            dtype=dtype, compensated=compensated, engine=engine,
+            method=method)
 
         t0 = time.time()
         repeats = max(1, int(repeats))

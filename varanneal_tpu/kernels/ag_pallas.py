@@ -20,9 +20,12 @@ of the XLA chain. ``jax.value_and_grad`` of the returned action hits a
 backward is a free cotangent scale.
 
 Design notes (measured constraints shared with dir_pallas.py):
-  - the row shift x_{n+1} is a one-hot shift-matrix matmul at HIGHEST
-    precision (differentiable, exact, MXU-trivial; Mosaic rejects
-    sublane-offset slices);
+  - the row shift x_{n+1} is an O(N*D) static sublane-offset slice
+    (``_shift_up``; exact, autodiff-transposable). Round 3/4 used an
+    (N_pad, N_pad) one-hot shift MATMUL because that jaxlib's Mosaic
+    rejected sublane-offset slices; this jaxlib lowers them (probed
+    round 5 at (6008, 128)), removing the O(N_pad^2 D) per-eval term
+    that killed the fused-solve win past N_pad ~ 300;
   - observations enter pre-EMBEDDED into D-space host-side (Y_emb with
     targets at Lidx columns, W_emb with the RM weights there, zero
     elsewhere) so the ME term is a masked elementwise quadratic — no
@@ -104,23 +107,29 @@ def _mm(x, y):
                    precision=lax.Precision.HIGHEST)
 
 
+def _shift_up(v):
+    """O(N*D) row shift: out[n] = v[n+1], last row zero. Round-5: Mosaic
+    on this jaxlib lowers static sublane-offset slices (probed at
+    (6008, 128) and (168, 128), values exact, autodiff composes through
+    the derived slice/concat transpose), so the (N_pad, N_pad) one-hot
+    shift MATMUL the round-3/4 kernels used — O(N_pad^2 D) per eval, the
+    measured reason the fused-solve win died at N_pad ~ 300 — is gone."""
+    return jnp.concatenate(
+        [v[1:], jnp.zeros((1, v.shape[1]), v.dtype)], axis=0)
+
+
 def build_fwd(spec, has_stim, rf_mode, rf_vals, Y_emb, W_emb, svals,
               N_pad, D_pad, dtype):
     """Build the in-kernel action forward ``fwd(Xv, p2) -> scalar`` from
     VMEM values (shared between the per-eval kernel below and the
     whole-solve kernel in ``solve_pallas.py``). ``rf_vals``: [scalar] or
     [(N_pad, D_pad) diag] or [rf_s, rf_h] for 'diag_sh'; ``svals``: list
-    of (N_pad, S) stimulus shift views (empty when undriven). The shift
-    matrix, time ramp and residual mask are constructed here (hoist the
-    call outside loops)."""
+    of (N_pad, S) stimulus shift views (empty when undriven). The time
+    ramp and residual mask are constructed here (hoist the call outside
+    loops); row shifts are O(N*D) slice shifts (:func:`_shift_up`)."""
     sh = spec.disc == "SimpsonHermite"
     D, N_f = spec.D, spec.N_f
     h = jnp.asarray(spec.dt, dtype)
-
-    # shift matrix: output row n = input row n+1 (zero last row)
-    ri = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (N_pad, N_pad), 1)
-    S = (ci == ri + 1).astype(dtype)
 
     t0 = jnp.asarray(float(np.asarray(spec.t_f)[0]), dtype)
     gdt = jnp.asarray(_grid_dt(spec), dtype)
@@ -152,14 +161,14 @@ def build_fwd(spec, has_stim, rf_mode, rf_vals, Y_emb, W_emb, svals,
     def fwd(Xv, p2):
         p = p2[0, : spec.NP]
         x = Xv[:, :D]
-        x1 = _mm(S, Xv)[:, :D]
+        x1 = _shift_up(Xv)[:, :D]
         if sh:
             # h is the FULL interval over [n, n+2]; grid spacing h/2
-            x2 = _mm(S, _mm(S, Xv))[:, :D]
+            x2 = _shift_up(_shift_up(Xv))[:, :D]
             f0 = call_f(t, x, p, svals[0] if has_stim else None)
             f0p = _dpad(f0)
-            f1 = _mm(S, f0p)[:, :D]
-            f2 = _mm(S, _mm(S, f0p))[:, :D]
+            f1 = _shift_up(f0p)[:, :D]
+            f2 = _shift_up(_shift_up(f0p))[:, :D]
             r_s = x2 - x - (h / 6.0) * (f0 + 4.0 * f1 + f2)
             r_h = x1 - 0.5 * (x + x2) - (h / 8.0) * (f0 - f2)
             r_s, r_h = _dpad(r_s), _dpad(r_h)

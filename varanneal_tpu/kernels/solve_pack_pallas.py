@@ -96,10 +96,11 @@ def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
                    dtype=np.float32, bounded=False) -> bool:
     """Static predicate. VMEM model: the k=1 kernel's calibrated
     (m + 45|64)-block footprint is ~per-member state (vag residuals,
-    line-search carries, history) except the shared consts/shift
-    matrix, so a k-pack costs ~k * (m + 45|64) blocks + N_pad^2 (+2
-    shared bound blocks when bounded; bounded fixed footprint measured
-    round-4, see solve_pallas.solve_supported)."""
+    line-search carries, history) except the shared consts, so a
+    k-pack costs ~k * (m + 45|64) blocks (+2 shared bound blocks when
+    bounded; bounded fixed footprint measured round-4, see
+    solve_pallas.solve_supported). Round-5: the (N_pad, N_pad) shift
+    matrix is gone (slice shifts, ag_pallas._shift_up)."""
     if pack < 1 or opts.m > 8:
         return False
     if not ag_supported(spec, rf, dtype):
@@ -108,7 +109,7 @@ def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
     D_pad = _pad_to(spec.D, 128)
     fixed = 64 if bounded else 45
     vmem = ((pack * (opts.m + fixed) + (2 if bounded else 0))
-            * N_pad * D_pad + N_pad * N_pad) * 4
+            * N_pad * D_pad) * 4
     from varanneal_tpu.kernels.solve_pallas import (_VMEM_LIMIT,
                                                     _PROBE_BYTES)
     if vmem > int(0.8 * (_VMEM_LIMIT or 16 * 2 ** 20)):

@@ -34,6 +34,8 @@ production form of that loop: vmapped ensembles, chunked dispatches,
 crash-resumable checkpoints, dtype-staged arithmetic.
 """
 
+import time
+import warnings
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -43,6 +45,56 @@ import jax.numpy as jnp
 from varanneal_tpu.opt import LBFGSOptions
 from varanneal_tpu.anneal.checkpoint import run_ladder_checkpointed
 from varanneal_tpu.parallel import draw_anchored_problem, strip_anchors
+
+# dispatch seam: polish()'s retry loop calls this; tests monkeypatch it
+# to inject worker faults
+_dispatch = run_ladder_checkpointed
+
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
+                      "socket closed", "connection", "Connection",
+                      "worker", "INTERNAL")
+
+
+def _is_transient(e: BaseException) -> bool:
+    """Classify a dispatch failure as a (possibly-recoverable) runtime/
+    worker fault rather than a programming error. Type-first: any
+    jaxlib runtime error (XlaRuntimeError and friends) counts — the
+    measured failure mode on this testbed is the TPU worker crashing or
+    hanging mid-dispatch (CLAUDE.md), which surfaces as XlaRuntimeError
+    UNAVAILABLE/INTERNAL from an otherwise-valid program. Python-side
+    errors (TypeError, ValueError, ...) are never transient."""
+    name = type(e).__name__
+    if name in ("XlaRuntimeError", "JaxRuntimeError"):
+        return True
+    if isinstance(e, (TypeError, ValueError, KeyError, AttributeError,
+                      AssertionError)):
+        return False
+    return isinstance(e, (RuntimeError, OSError)) and any(
+        s in str(e) for s in _TRANSIENT_MARKERS)
+
+
+def _maybe_rung_solver(spec, rf0, opts, solver, rung_solver, lower,
+                       upper, dtype, anchored=False):
+    """Workflow-side wrapper of the shared facade gate
+    (``kernels.solve_pallas.pick_rung_solver``). An explicit
+    ``rung_solver`` wins; anchored problems pin the generic loop (the
+    fused kernel's in-kernel action cannot see the anchor penalty)."""
+    if rung_solver is not None:
+        return rung_solver
+    if spec is None or solver == "generic":
+        return None
+    if anchored:
+        if solver == "fused":
+            warnings.warn(
+                "solver='fused' is unavailable for anchor_weight > 0 "
+                "(the fused kernel evaluates the raw spec action, not "
+                "the anchored one); using the generic solver",
+                stacklevel=3)
+        return None
+    from varanneal_tpu.kernels.solve_pallas import pick_rung_solver
+    opts = opts or LBFGSOptions()
+    return pick_rung_solver(spec, rf0, opts, solver=solver,
+                            lower=lower, upper=upper, dtype=dtype)
 
 
 def safe_polish_batch() -> int:
@@ -81,12 +133,22 @@ def phase1(action, parts, xp0, betas, rf0, alpha, *, lower=None,
            snapshot_beta: Optional[int] = None,
            checkpoint_stem: Optional[str] = None, save_every: int = 2,
            rf_min=None, rf_max=None, meta: Optional[dict] = None,
+           spec=None, solver: str = "auto", rung_solver=None,
            verbose: bool = False) -> Phase1Result:
     """Screening-ladder stage: (optionally own-draw-anchored) batched
     annealing with chunked dispatches, per-rung ``repeats``, an optional
     pre-divergence ``snapshot_beta``, and crash-resumable checkpointing
     at ``checkpoint_stem + '_p1_ckpt.npz'`` (the exact layout the
     campaign runners resume from).
+
+    ``spec``/``solver``/``rung_solver`` (round-5, VERDICT r4 #3): pass
+    the problem's ``ProblemSpec`` to let the screen ride the fused
+    whole-solve Pallas kernel through the SAME gate as the facade
+    (``solver='auto'``: only in the measured-win envelope; ``'fused'``:
+    forced where supported; ``'generic'``: XLA loop). An explicit
+    ``rung_solver`` callable overrides the gate. Anchored screens
+    (``anchor_weight > 0``) always use the generic loop — the fused
+    kernel's in-kernel action cannot see the anchor penalty.
 
     ``xp0``: (B, n) ensemble of packed decision vectors whose trailing
     ``n_params`` coordinates are the estimated parameters.
@@ -108,6 +170,9 @@ def phase1(action, parts, xp0, betas, rf0, alpha, *, lower=None,
         action, parts, xp0, lo_run, hi_run = draw_anchored_problem(
             action, parts, xp0, np.asarray(lower), np.asarray(upper),
             n_params=n_params, weight=anchor_weight, width=anchor_width)
+    rung_solver = _maybe_rung_solver(spec, rf0, opts, solver,
+                                     rung_solver, lower, upper,
+                                     xp0.dtype, anchored=anchored)
     res = run_ladder_checkpointed(
         action, parts, jnp.asarray(xp0), betas, rf0, alpha,
         ckpt_path=(checkpoint_stem + "_p1_ckpt.npz"
@@ -115,7 +180,8 @@ def phase1(action, parts, xp0, betas, rf0, alpha, *, lower=None,
         save_every=save_every, lower=lo_run, upper=hi_run, opts=opts,
         store_paths=False, batched=True, batched_bounds=anchored,
         repeats=repeats, snapshot_beta=snapshot_beta, meta=meta,
-        verbose=verbose, rf_min=rf_min, rf_max=rf_max)
+        verbose=verbose, rf_min=rf_min, rf_max=rf_max,
+        rung_solver=rung_solver)
     A = np.asarray(res.A)
     return Phase1Result(
         XP=np.asarray(res.XP), A=A, ME=np.asarray(res.ME),
@@ -140,6 +206,8 @@ def polish(action, parts, src, betas, rf0, alpha, *, lower=None,
            checkpoint_stem: Optional[str] = None, save_every: int = 2,
            rf_min=None, rf_max=None, dtype=np.float64,
            meta: Optional[dict] = None,
+           spec=None, solver: str = "auto", rung_solver=None,
+           retries: int = 2, retry_wait: float = 30.0,
            verbose: bool = False) -> PolishResult:
     """Accuracy-grade polish stage: re-anneal the selected members up
     the top rungs at ``dtype`` (f64 by default — the f32 ladder's
@@ -157,6 +225,23 @@ def polish(action, parts, src, betas, rf0, alpha, *, lower=None,
     ``checkpoint_stem + '_pol_ckpt.npz'`` / ``'_pol{i}_ckpt.npz'`` —
     the exact names the round-3 campaign runners used, so in-flight
     saves stay resumable.
+
+    ``retries`` (round-5, VERDICT r4 #4): each batch dispatch that
+    fails with a TRANSIENT runtime fault (``_is_transient``: the
+    measured worker crash/hang surface, XlaRuntimeError
+    UNAVAILABLE/INTERNAL) is re-dispatched up to ``retries`` more
+    times after a ``retry_wait``-second pause, resuming from the
+    batch's own per-rung checkpoint when ``checkpoint_stem`` is set —
+    a worker crash then costs one batch retry instead of the whole
+    call (the round-4 batch bisection proved the ≤4 batch guard alone
+    cannot guarantee worker survival; the ladder-level protection is
+    retry+resume, as ``bench.py`` already does process-level).
+    Programming errors re-raise immediately.
+
+    ``spec``/``solver``/``rung_solver``: same fused-solver gate as
+    :func:`phase1` (at the POLISH dtype — f64 polish naturally pins
+    the generic loop; an f32 polish in the win envelope rides the
+    fused kernel).
     """
     src = np.asarray(src)
     if picks is None:
@@ -169,6 +254,9 @@ def polish(action, parts, src, betas, rf0, alpha, *, lower=None,
     if batch is None:
         batch = safe_polish_batch()
     pbatch = int(batch) if batch and batch > 0 else K
+    rung_solver = _maybe_rung_solver(spec, rf0, opts, solver,
+                                     rung_solver, lower, upper,
+                                     np.dtype(dtype))
     XP_parts, A_parts = [], []
     for bi in range(0, K, pbatch):
         sel = list(range(bi, min(bi + pbatch, K)))
@@ -181,13 +269,28 @@ def polish(action, parts, src, betas, rf0, alpha, *, lower=None,
                   f"of {K}")
         bmeta = dict(meta or {})
         bmeta["picks"] = np.asarray([picks[j] for j in sel])
-        res = run_ladder_checkpointed(
-            action, parts, jnp.asarray(src_p[sel].astype(dtype)),
-            betas, rf0, alpha, ckpt_path=ck,
-            save_every=max(int(save_every), 1), lower=lower,
-            upper=upper, opts=opts, store_paths=False, batched=True,
-            repeats=repeats, meta=bmeta, verbose=verbose,
-            rf_min=rf_min, rf_max=rf_max)
+        for attempt in range(int(retries) + 1):
+            try:
+                res = _dispatch(
+                    action, parts, jnp.asarray(src_p[sel].astype(dtype)),
+                    betas, rf0, alpha, ckpt_path=ck,
+                    save_every=max(int(save_every), 1), lower=lower,
+                    upper=upper, opts=opts, store_paths=False,
+                    batched=True, repeats=repeats, meta=bmeta,
+                    verbose=verbose, rf_min=rf_min, rf_max=rf_max,
+                    rung_solver=rung_solver)
+                break
+            except Exception as e:
+                if attempt >= int(retries) or not _is_transient(e):
+                    raise
+                if verbose:
+                    print(f"[workflow] polish batch [{sel[0]}:"
+                          f"{sel[-1] + 1}] transient fault "
+                          f"({type(e).__name__}); retry "
+                          f"{attempt + 1}/{retries} in {retry_wait:g}s"
+                          f"{' (resume from ' + ck + ')' if ck else ''}",
+                          flush=True)
+                time.sleep(retry_wait)
         XP_parts.append(np.asarray(res.XP))
         A_parts.append(np.asarray(res.A))
     XP = np.concatenate(XP_parts, axis=0)
@@ -215,6 +318,7 @@ def estimate(make_problem, xp0, betas, rf0, alpha, *, n_params: int,
              polish_dtype=np.float64,
              checkpoint_stem: Optional[str] = None, save_every: int = 2,
              rf_min=None, rf_max=None, meta: Optional[dict] = None,
+             solver: str = "auto", polish_retries: int = 2,
              verbose: bool = False) -> EstimateResult:
     """The full staged recipe in one call: prior-box ensemble →
     own-draw anchors → chunked f32 screening ladder (+ snapshot) →
@@ -224,7 +328,12 @@ def estimate(make_problem, xp0, betas, rf0, alpha, *, n_params: int,
     ``make_problem(dtype) -> (action, parts, lower, upper)`` builds the
     (possibly multi-protocol) annealing problem at a given dtype — the
     same problem must be built at the screening dtype (``xp0.dtype``)
-    and the polish dtype. ``xp0``: (B, n) ensemble whose trailing
+    and the polish dtype. It may instead return a 5-tuple
+    ``(action, parts, lower, upper, spec)`` — the trailing
+    ``ProblemSpec`` then feeds the shared fused-solver gate (``solver``
+    kwarg, default 'auto': the screen/polish ride the whole-solve
+    Pallas kernel wherever the facade would — VERDICT r4 #3; anchored
+    screens and f64 polishes pin the generic loop automatically). ``xp0``: (B, n) ensemble whose trailing
     ``n_params`` coordinates are the estimated parameters (e.g. drawn
     from ``models.nakl_param_boxes`` boxes). ``snapshot_beta``: rung
     index whose state seeds the polish (default: polish from the final
@@ -236,14 +345,19 @@ def estimate(make_problem, xp0, betas, rf0, alpha, *, n_params: int,
     """
     xp0 = np.asarray(xp0)
     p1_dtype = xp0.dtype
-    action, parts, lower, upper = make_problem(p1_dtype)
+
+    def _build(dt):
+        out = make_problem(dt)
+        return out if len(out) == 5 else tuple(out) + (None,)
+
+    action, parts, lower, upper, spec = _build(p1_dtype)
     r1 = phase1(action, parts, xp0, betas, rf0, alpha, lower=lower,
                 upper=upper, opts=opts, n_params=n_params,
                 anchor_weight=anchor_weight, anchor_width=anchor_width,
                 repeats=repeats, snapshot_beta=snapshot_beta,
                 checkpoint_stem=checkpoint_stem, save_every=save_every,
                 rf_min=rf_min, rf_max=rf_max, meta=meta,
-                verbose=verbose)
+                spec=spec, solver=solver, verbose=verbose)
     nap = n_params if r1.anchored else 0
     if not polish_top:
         b = int(r1.order[0])
@@ -273,14 +387,15 @@ def estimate(make_problem, xp0, betas, rf0, alpha, *, n_params: int,
     step = float(betas[-1] - betas[-2]) if n_beta > 1 else 1.0
     extra = betas[-1] + step * np.arange(1, int(polish_extra_betas) + 1)
     pol_betas = np.concatenate([betas[lo_rung:], extra])
-    action64, parts64, lo64, hi64 = make_problem(polish_dtype)
+    action64, parts64, lo64, hi64, spec64 = _build(polish_dtype)
     rf0_64 = np.asarray(rf0, polish_dtype)
     r2 = polish(action64, parts64, src, pol_betas, rf0_64, alpha,
                 lower=lo64, upper=hi64, opts=polish_opts, picks=picks,
                 anchored_n_params=nap, batch=polish_batch,
                 repeats=polish_repeats, checkpoint_stem=checkpoint_stem,
                 save_every=save_every, rf_min=rf_min, rf_max=rf_max,
-                dtype=polish_dtype, verbose=verbose)
+                dtype=polish_dtype, spec=spec64, solver=solver,
+                retries=polish_retries, verbose=verbose)
     j = int(r2.order[0])
     return EstimateResult(phase1=r1, polish=r2, best=r2.XP[j],
                           best_A=float(r2.A[j, -1]),
