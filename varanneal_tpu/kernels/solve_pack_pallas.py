@@ -56,6 +56,7 @@ def set_interpret(flag: bool):
 
 
 _probe_cache = {}
+_transient_counts = {}
 
 
 def _compile_pack(spec, rf, opts, pack, bounded):
@@ -74,22 +75,15 @@ def _compile_pack(spec, rf, opts, pack, bounded):
 
 
 def _probe_ok(spec, rf, opts, pack, bounded) -> bool:
+    # shared probe driver (solve_pallas): permanent compile failures
+    # cache False by TYPE/CODE classification; transient worker faults
+    # retry up to the shared limit (VERDICT r4 weak #4 hardening)
+    from varanneal_tpu.kernels.solve_pallas import _probe
     key = (spec.N_f, spec.D, spec.NP, spec.NPest, spec.disc,
            np.ndim(rf), opts.m, int(pack), bool(bounded),
            spec.stim_f is not None)
-    if key not in _probe_cache:
-        try:
-            _compile_pack(spec, rf, opts, pack, bounded)
-            _probe_cache[key] = True
-        except Exception as e:
-            msg = str(e)
-            if any(s in msg for s in
-                   ("RESOURCE_EXHAUSTED", "Ran out of memory",
-                    "scoped", "vmem", "VMEM")):
-                _probe_cache[key] = False
-            else:           # transient worker failure: don't cache
-                return False
-    return _probe_cache[key]
+    return _probe(_probe_cache, _transient_counts, key,
+                  lambda: _compile_pack(spec, rf, opts, pack, bounded))
 
 
 def pack_supported(spec: ProblemSpec, rf, opts: LBFGSOptions, pack: int,
