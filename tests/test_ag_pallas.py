@@ -222,3 +222,136 @@ def test_solver_end_to_end_ag_action():
     # per-iterate equality
     np.testing.assert_allclose(Ap, Ax, rtol=0.1)
     assert Ap[-1] <= Ax[-1] * 1.02
+
+
+# ---------------------------------------------------------------------------
+# round-5: in-kernel compensated-f32 (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+
+def test_comp_sum_block_exactness():
+    """The in-kernel two-float reduction (shift/roll butterflies) must
+    recover the f64-exact sum of adversarial f32 data to ~f32-ulp^2 —
+    like ops.action.comp_sum, and far beyond a plain f32 sum."""
+    from functools import partial
+    from jax.experimental import pallas as pl
+    rng = np.random.default_rng(0)
+    for N, D in [(8, 128), (24, 128), (168, 256)]:
+        # adversarial: large cancellation + tiny tail terms
+        x = np.zeros((N, D), np.float32)
+        x[:] = rng.normal(0, 1.0, (N, D))
+        x[0, 0] = 3e7
+        x[1, 0] = -3e7
+        x[2] = 1e-4 * rng.normal(size=D)
+
+        def kern(x_ref, o_ref):
+            hi, lo = ag_pallas.comp_sum_block(x_ref[...])
+            cc = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            o_ref[...] = ((cc == 0).astype(jnp.float32) * hi
+                          + (cc == 1).astype(jnp.float32) * lo)
+
+        out = pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            interpret=True)(jnp.asarray(x))
+        out = np.asarray(out)
+        got = np.float64(out[0, 0]) + np.float64(out[0, 1])
+        want = np.sum(x.astype(np.float64))
+        plain = np.float64(np.sum(x, dtype=np.float32))
+        assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (N, D)
+        # and it genuinely beats the plain f32 sum on this data
+        assert abs(got - want) < abs(plain - want) or plain == want
+
+
+@pytest.mark.parametrize("case", ["trap_scalar", "sh_scalar",
+                                  "sh_diag", "nakl_stim"])
+def test_compensated_matches_xla_compensated(case):
+    """make_action_ag(compensated=True) must reproduce the XLA
+    compensated action's value (f64 scalar from an f32 decision path)
+    and the plain gradient, across disc/rf/stimulus modes."""
+    rng = np.random.default_rng(3)
+    if case == "nakl_stim":
+        tw = nakl_twin(N=61, dt=0.04, sigma=1.0, seed=5)
+        spec = build_spec(nakl, 4, tw["V"].astype(np.float32),
+                          tw["t"], [0], 1.0, disc="SimpsonHermite",
+                          P=np.asarray(NAKL_P_TRUE), pidx=[1, 3, 5],
+                          stim=tw["stim"])
+        rf = np.ascontiguousarray(np.broadcast_to(
+            1e3 * np.array([1.0, 1e3, 1e3, 1e3]),
+            (spec.N_f - 1, 4))).astype(np.float32)
+        V_f = np.interp(np.arange(spec.N_f) / 2.0, np.arange(61),
+                        tw["V"][:, 0])
+        gates = [np.clip(0.5 + rng.normal(0, 0.05, spec.N_f), 0, 1)
+                 for _ in range(3)]
+        z = jnp.asarray(np.concatenate(
+            [np.column_stack([V_f] + gates).ravel(),
+             [120.0, 30.0, 0.2]]).astype(np.float32))
+    else:
+        disc = "trapezoid" if case == "trap_scalar" else "SimpsonHermite"
+        spec, tw = _l96_spec(disc=disc, N=41)
+        z = _z0(spec, tw, rng)
+        if case == "sh_diag":
+            rf = (1e4 * (1.0 + 0.1 * rng.random(
+                (spec.N_f - 1, spec.D)))).astype(np.float32)
+        else:
+            rf = np.float32(1e5)
+    a_k, _ = make_action_ag(spec, compensated=True)
+    a_x, _ = make_action(spec, compensated=True)
+    vk = a_k(z, rf)
+    vx = a_x(z, rf)
+    assert vk.dtype == vx.dtype            # f64 contract under x64
+    np.testing.assert_allclose(float(vk), float(vx), rtol=2e-6)
+    gk = jax.grad(lambda u: a_k(u, rf))(z)
+    gx = jax.grad(lambda u: a_x(u, rf))(z)
+    assert gk.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=1e-3, atol=1e-5 * float(
+                                   np.max(np.abs(np.asarray(gx)))))
+    # vmapped path (the ladder context)
+    vkv = jax.vmap(a_k, in_axes=(0, None))(jnp.stack([z, z]), rf)
+    np.testing.assert_allclose(np.asarray(vkv), float(vx), rtol=2e-6)
+
+
+def test_compensated_accuracy_beats_plain_f32():
+    """At high rf the compensated kernel action must stay closer to the
+    f64 reference than the plain f32 kernel — the round-2/3 measured
+    failure mode (f32 saturation of the final action) closed on-chip."""
+    spec, tw = _l96_spec(disc="trapezoid", N=81)
+    rng = np.random.default_rng(11)
+    z = _z0(spec, tw, rng)
+    rf = np.float32(4e6)
+    a_p, _ = make_action_ag(spec)
+    a_c, _ = make_action_ag(spec, compensated=True)
+    spec64 = build_spec(lorenz96, 20,
+                        tw["Y"].astype(np.float64), tw["t"],
+                        tw["Lidx"], tw["RM"], disc="trapezoid",
+                        P=np.array([4.0]), pidx=[0])
+    a_64, _ = make_action(spec64)
+    ref = float(a_64(jnp.asarray(np.asarray(z), np.float64),
+                     np.float64(rf)))
+    err_plain = abs(float(a_p(z, rf)) - ref)
+    err_comp = abs(float(a_c(z, rf)) - ref)
+    assert err_comp <= err_plain
+    assert err_comp <= 1e-5 * abs(ref)
+
+
+def test_facade_compensated_ag_engine():
+    """engine='ag' + compensated=True through the facade: the ladder
+    runs on the compensated kernel and matches the compensated-XLA
+    ladder's records."""
+    from varanneal_tpu.api import Annealer
+    tw = lorenz96_twin(D=20, N_data=21, n_obs=8)
+    rng = np.random.default_rng(4)
+    X0 = rng.normal(2.0, 2.0, (21, 20))
+
+    def run(engine):
+        ann = Annealer()
+        ann.set_model(lorenz96, 20)
+        ann.set_data(tw["Y"].astype(np.float32), t=tw["t"])
+        ann.anneal(X0, np.array([4.0]), 1.7, np.arange(5),
+                   tw["RM"], 1e-4, tw["Lidx"], [0],
+                   opt_args=dict(maxiter=20), compensated=True,
+                   dtype=np.float32, engine=engine)
+        return ann
+    a_ag = run("ag")
+    a_x = run("auto")
+    np.testing.assert_allclose(a_ag.A_array, a_x.A_array, rtol=1e-4)
+    assert np.all(np.isfinite(a_ag.A_array))

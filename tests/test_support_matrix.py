@@ -27,7 +27,8 @@ EXPECT = {
     "time-dependent parameters": ("error", "error", "fallback"),
     "observation stride (dt_model)": ("served", "served", "served"),
     "non-uniform time grid": ("error", "error", "fallback"),
-    "compensated f32 sums": ("error", "error", "fallback"),
+    # round-5: engine='ag' serves the in-kernel two-float reductions
+    "compensated f32 sums": ("error", "served", "fallback"),
     "f64": ("served", "error", "fallback"),
     "multi-protocol joint estimation": ("n/a", "n/a", "n/a"),
     "campaign-length record (N=1001 SH)": ("served", "served",
@@ -35,8 +36,8 @@ EXPECT = {
     "large D fused (D=400, N=161)": ("served", "served", "served"),
 }
 
-# auto-column pins for the round-4 measured-win gates (solve_preferred
-# N_pad <= 256; ag D >= 256)
+# auto-column pins for the measured-win gates (round-5
+# solve_preferred N_pad <= 1024; ag D >= 256)
 EXPECT_AUTO = {
     "baseline (trapezoid f32 D=20)": "xla + fused",
     "large D (one-step, D=256)": "ag + fused",
@@ -111,3 +112,22 @@ def test_facade_time_dep_p_auto_falls_back():
               1e-4, tw["Lidx"], Pidx=[0], dtype=np.float32,
               track_paths=False, opt_args=dict(maxiter=10))
     assert np.all(np.isfinite(an.A_array))
+
+
+def test_parity_table_not_drifted():
+    """Round-5 (VERDICT r4 weak #1): the committed PARITY.md table must
+    EQUAL the generated one — support.py's 'can never drift from the
+    code' claim, made true. Regenerate with
+    ``python benchmarks/support_matrix.py`` and paste between the
+    SUPPORT_MATRIX markers whenever a predicate changes."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PARITY.md")) as fh:
+        txt = fh.read()
+    begin = txt.index("SUPPORT_MATRIX_BEGIN")
+    begin = txt.index("\n", begin) + 1
+    end = txt.index("<!-- SUPPORT_MATRIX_END -->")
+    committed = txt[begin:end].strip()
+    assert committed == markdown_table().strip(), (
+        "PARITY.md support-matrix table drifted from "
+        "support.markdown_table() — regenerate and re-paste")

@@ -282,9 +282,27 @@ class Annealer:
             if engine == "pallas":
                 raise ValueError(
                     "compensated=True is implemented on the XLA engine "
-                    "only (the Pallas accumulator is per-block f32)")
-            act, parts = make_action(spec, compensated=True)
-            act.engine = "xla"
+                    "and the whole-problem 'ag' kernel (round-5 "
+                    "in-kernel two-float reductions), not the blocked "
+                    "FE kernel")
+            from varanneal_tpu.kernels.ag_pallas import (ag_supported,
+                                                         make_action_ag)
+            if engine == "ag":
+                # round-5 (VERDICT r4 #5): compensated accumulation
+                # in-kernel — the two-float shift/roll butterfly
+                # reductions give the fused eval path the XLA
+                # compensated action's f64-scalar contract
+                if not ag_supported(spec, rf0, dtype):
+                    raise ValueError(
+                        "engine='ag' unsupported for this problem "
+                        "(disc/rf/RM shape/time-dep params/VMEM); the "
+                        "compensated XLA engine (engine='auto') serves "
+                        "it")
+                act, parts = make_action_ag(spec, compensated=True)
+                act.engine = "ag"
+            else:
+                act, parts = make_action(spec, compensated=True)
+                act.engine = "xla"
         else:
             from varanneal_tpu.kernels.fe_pallas import select_action
             act, parts = select_action(spec, rf0, engine=engine,

@@ -243,18 +243,22 @@ def solve_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
 
 def solve_preferred(spec: ProblemSpec, rf, opts: LBFGSOptions,
                     dtype=np.float32, bounded=False) -> bool:
-    """Measured-WIN predicate for ``solver='auto'`` (round-4 bounded
-    A/B, PARITY.md): the in-kernel action evaluates the FE stencil via
-    (N_pad, N_pad) shift matmuls — O(N_pad^2 D) per eval vs the XLA
-    action's O(N_pad D) — so the kernel's per-launch win is overtaken
-    by the quadratic term as the record grows. Measured at B=32:
-    N_pad=168 (L96 trap): 3.2x vs the generic projection loop (31.9x
-    vs subspace); N_pad=208 (NaKL SH): 1.06x; N_pad=408: 0.87x. The
-    gate serves the kernel at N_pad <= 256; ``solver='fused'`` still
-    FORCES it anywhere :func:`solve_supported` holds."""
+    """Measured-WIN predicate for ``solver='auto'``. Round-5: the
+    in-kernel action's row shifts are O(N*D) slices (round 3/4 used
+    O(N_pad^2 D) shift matmuls, which killed the win past N_pad ~ 300
+    and gated this predicate at N_pad <= 256). Measured bounded
+    NaKL-SH A/B at B=32 with the slice shifts: N_pad=168 (L96 trap):
+    3.2x vs the generic projection loop; N_pad=304: 1.17x; N_pad=1008:
+    1.03x (never below parity; 3.8-4.9x vs subspace throughout) — the
+    gate now serves the kernel through N_pad <= 1024, the largest
+    measured-at-least-parity shape. Past that the envelope is
+    unmeasured (and the TPU compiler itself crashes on the N_pad=6008
+    campaign-shape program — measured round-5, PARITY); campaign-length
+    records stay on the generic loop. ``solver='fused'`` still FORCES
+    the kernel anywhere :func:`solve_supported` holds."""
     return (solve_supported(spec, rf, opts, dtype=dtype,
                             bounded=bounded)
-            and _pad_to(spec.N_f, 8) <= 256)
+            and _pad_to(spec.N_f, 8) <= 1024)
 
 
 def pick_rung_solver(spec: ProblemSpec, rf0, opts: LBFGSOptions, *,
