@@ -491,3 +491,46 @@ def test_probe_failure_classification(monkeypatch):
     # 3. programming errors in our host code re-raise, never classify
     with pytest.raises(TypeError):
         solve_pallas.classify_probe_failure(TypeError("bad arg"))
+
+
+def test_fused_ladder_kernel_matches_per_rung(  ):
+    """Round-5 (VERDICT r4 #8): k warm-started rungs in ONE launch
+    (make_ladder_solver) must reproduce the per-rung fused path —
+    bitwise XP, identical counts/status; A to in-kernel-vs-parts
+    roundoff."""
+    tw, spec = _l96_spec(N=41)
+    opts = LBFGSOptions(maxiter=100, m=5, pgtol=1e-4, ftol=1e-6,
+                        direction="two_loop")
+    action, parts = make_action(spec)
+    K = 6
+    betas = jnp.arange(K, dtype=jnp.float32)
+    rf0 = np.float32(4e-6 * tw["RM"])
+    alpha = 1.5
+    rfs = rf0 * alpha ** np.arange(K, dtype=np.float32)
+    xp0 = jnp.asarray(random_ensemble_inits(spec, 2, seed=3,
+                                            dtype=np.float32))
+    solver = solve_pallas.make_rung_solver(spec, opts)
+    ref = jax.jit(jax.vmap(lambda z: run_ladder(
+        action, parts, z, betas, rf0, alpha, opts=opts,
+        store_paths=False, rung_solver=solver)))(xp0)
+    assert solve_pallas.ladder_supported(spec, rf0, opts, n_rungs=K)
+    lad = solve_pallas.make_ladder_solver(spec, opts, K)
+    xpo, recs = jax.jit(jax.vmap(
+        lambda z: lad(z, jnp.asarray(rfs))))(xp0)
+    np.testing.assert_array_equal(np.asarray(xpo), np.asarray(ref.XP))
+    np.testing.assert_array_equal(np.asarray(recs["niter"]),
+                                  np.asarray(ref.niter))
+    np.testing.assert_array_equal(np.asarray(recs["nfev"]),
+                                  np.asarray(ref.nfev))
+    np.testing.assert_array_equal(np.asarray(recs["status"]),
+                                  np.asarray(ref.status))
+    np.testing.assert_allclose(np.asarray(recs["A"]),
+                               np.asarray(ref.A), rtol=5e-6)
+    np.testing.assert_allclose(np.asarray(recs["ME"]),
+                               np.asarray(ref.ME), rtol=5e-6)
+    np.testing.assert_allclose(np.asarray(recs["FE"]),
+                               np.asarray(ref.FE), rtol=5e-5,
+                               atol=1e-10)
+    # diag rf is out of envelope
+    assert not solve_pallas.ladder_supported(
+        spec, np.ones((40, 20), np.float32), opts, n_rungs=K)

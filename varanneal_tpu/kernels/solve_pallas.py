@@ -328,50 +328,21 @@ def _cubic_min(a, fa, dfa, b, fb, dfb):
     return jnp.where(bad, 0.5 * (a + b), t)
 
 
-def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
-    """One member: the full L-BFGS solve. Ref order:
-      X_ref (1, N_pad, D_pad), p_ref (1, 1, NP_pad),
-      pm_ref (1, 1, NP_pad) estimated-parameter 0/1 mask,
-      [bounded only: loX/hiX (1, N_pad, D_pad), loP/hiP (1, 1, NP_pad)
-       shared, padded/frozen entries +-inf],
-      rf refs per mode (scalar SMEM (1, 1, 1) | diag blocks),
-      y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
-      -> Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref (1, 1, 128)
-         [f, pgnorm, niter, nfev, status],
-      scratch: Sx (m, N_pad, D_pad), Yx (m, N_pad, D_pad),
-               Sp (m, 1, NP_pad), Yp (m, 1, NP_pad).
-    """
+def _solve_one(opts, fwd, pmask, scratch, bnd_vals, X0, p0):
+    """The full single-rung L-BFGS solve (closures + init + while loop)
+    on in-kernel VMEM values — the shared core of ``_solve_kernel``
+    (one rung per launch) and ``_ladder_kernel`` (k warm-started rungs
+    per launch, round-5). ``scratch``: the (Sx, Yx, Sp, Yp) history
+    refs; ``bnd_vals``: (loX, hiX, loP, hiP) VMEM values for the
+    bounded projection algorithm, or None. Returns
+    (X, p, f, gX, gp, pgn, niter, nfev, status)."""
+    Sx_ref, Yx_ref, Sp_ref, Yp_ref = scratch
     m = opts.m
-    sh = spec.disc == "SimpsonHermite"
-    n_rf = 2 if rf_mode == "diag_sh" else 1
-    n_st = (3 if sh else 2) if has_stim else 0
-    refs = list(refs)
-    X_ref = refs.pop(0)
-    p_ref = refs.pop(0)
-    pm_ref = refs.pop(0)
-    if bounded:
-        loX_ref = refs.pop(0)
-        hiX_ref = refs.pop(0)
-        loP_ref = refs.pop(0)
-        hiP_ref = refs.pop(0)
-    rf_refs = [refs.pop(0) for _ in range(n_rf)]
-    y_ref = refs.pop(0)
-    w_ref = refs.pop(0)
-    st_refs = [refs.pop(0) for _ in range(n_st)]
-    Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref = refs[:5]
-    Sx_ref, Yx_ref, Sp_ref, Yp_ref = refs[5:]
-
-    X0 = X_ref[0]
     dtype = X0.dtype
     N_pad, D_pad = X0.shape
-    S_w = spec.stim_f.shape[1] if has_stim else 0
-    svals = [r[0][:, :S_w] for r in st_refs]
-    rf_vals = ([rf_refs[0][0, 0, 0]] if rf_mode == "scalar"
-               else [r[0] for r in rf_refs])
-    fwd = build_fwd(spec, has_stim, rf_mode, rf_vals, y_ref[0], w_ref[0],
-                    svals, N_pad, D_pad, dtype)
-    pmask = pm_ref[0]                              # (1, NP_pad)
-
+    bounded = bnd_vals is not None
+    if bounded:
+        loX, hiX, loP, hiP = bnd_vals
     one = jnp.ones((), dtype)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     tiny_den = jnp.asarray(1e-30, dtype)
@@ -393,9 +364,6 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
         return jnp.maximum(jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(ap)))
 
     if bounded:
-        loX, hiX = loX_ref[0], hiX_ref[0]
-        loP, hiP = loP_ref[0], hiP_ref[0]
-
         def proj(Xv, pv):
             return jnp.clip(Xv, loX, hiX), jnp.clip(pv, loP, hiP)
 
@@ -604,7 +572,6 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
         return X_new, p_new, f_new, gX_new, gp_new, i, ok
 
     # ---- init -----------------------------------------------------------
-    p0 = p_ref[0]
     if bounded:
         X0, p0 = proj(X0, p0)     # feasible start, as the generic loop
     f0, gX0, gp0 = vag(X0, p0)
@@ -703,6 +670,59 @@ def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
     (X, p, f, gX, gp, dX, dp, gnorm1, head, hlen, niter, nfev,
      status, done) = s
     pgn = pg_max(X, p, gX, gp) if bounded else tmax_abs(gX, gp)
+    return X, p, f, gX, gp, pgn, niter, nfev, status
+
+
+def _solve_kernel(spec, has_stim, rf_mode, opts, bounded, *refs):
+    """One member: the full L-BFGS solve. Ref order:
+      X_ref (1, N_pad, D_pad), p_ref (1, 1, NP_pad),
+      pm_ref (1, 1, NP_pad) estimated-parameter 0/1 mask,
+      [bounded only: loX/hiX (1, N_pad, D_pad), loP/hiP (1, 1, NP_pad)
+       shared, padded/frozen entries +-inf],
+      rf refs per mode (scalar SMEM (1, 1, 1) | diag blocks),
+      y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
+      -> Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref (1, 1, 128)
+         [f, pgnorm, niter, nfev, status],
+      scratch: Sx (m, N_pad, D_pad), Yx (m, N_pad, D_pad),
+               Sp (m, 1, NP_pad), Yp (m, 1, NP_pad).
+    """
+    m = opts.m
+    sh = spec.disc == "SimpsonHermite"
+    n_rf = 2 if rf_mode == "diag_sh" else 1
+    n_st = (3 if sh else 2) if has_stim else 0
+    refs = list(refs)
+    X_ref = refs.pop(0)
+    p_ref = refs.pop(0)
+    pm_ref = refs.pop(0)
+    if bounded:
+        loX_ref = refs.pop(0)
+        hiX_ref = refs.pop(0)
+        loP_ref = refs.pop(0)
+        hiP_ref = refs.pop(0)
+    rf_refs = [refs.pop(0) for _ in range(n_rf)]
+    y_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    st_refs = [refs.pop(0) for _ in range(n_st)]
+    Xo_ref, po_ref, gxo_ref, gpo_ref, s_ref = refs[:5]
+    Sx_ref, Yx_ref, Sp_ref, Yp_ref = refs[5:]
+
+    X0 = X_ref[0]
+    dtype = X0.dtype
+    N_pad, D_pad = X0.shape
+    S_w = spec.stim_f.shape[1] if has_stim else 0
+    svals = [r[0][:, :S_w] for r in st_refs]
+    rf_vals = ([rf_refs[0][0, 0, 0]] if rf_mode == "scalar"
+               else [r[0] for r in rf_refs])
+    fwd = build_fwd(spec, has_stim, rf_mode, rf_vals, y_ref[0], w_ref[0],
+                    svals, N_pad, D_pad, dtype)
+    pmask = pm_ref[0]                              # (1, NP_pad)
+
+    bnd_vals = ((loX_ref[0], hiX_ref[0], loP_ref[0], hiP_ref[0])
+                if bounded else None)
+    (X, p, f, gX, gp, pgn, niter, nfev,
+     status) = _solve_one(opts, fwd, pmask,
+                          (Sx_ref, Yx_ref, Sp_ref, Yp_ref),
+                          bnd_vals, X0, p_ref[0])
 
     Xo_ref[0] = X
     po_ref[0] = p
@@ -907,3 +927,205 @@ def make_rung_solver(spec: ProblemSpec, opts: LBFGSOptions,
             pgnorm=srow[0, 1])
 
     return solve
+
+
+# ---------------------------------------------------------------------------
+# k-rung fused LADDER kernel (round-5, VERDICT r4 #8): k warm-started
+# rungs in ONE launch. The per-rung fused solver already collapsed a
+# rung to one launch; this removes the remaining per-rung kernel
+# boundary + host-side prep/unpack/records chains at the bench shape.
+# Scalar-rf UNBOUNDED solves only (the bench regime).
+# ---------------------------------------------------------------------------
+
+def ladder_supported(spec: ProblemSpec, rf, opts: LBFGSOptions,
+                     dtype=np.float32, n_rungs: int = 1) -> bool:
+    """Predicate for the k-rung fused ladder kernel: the whole-solve
+    envelope, scalar rf, unbounded. One launch runs n_rungs solves
+    back-to-back — keep the per-launch wall under this testbed's ~60 s
+    dispatch kill by chunking rungs at the caller."""
+    return (np.ndim(rf) == 0
+            and solve_supported(spec, rf, opts, dtype=dtype,
+                                bounded=False))
+
+
+def _ladder_kernel(spec, has_stim, opts, k, *refs):
+    """One member: k warm-started rungs. Ref order:
+      X_ref (1, N_pad, D_pad), p_ref (1, 1, NP_pad),
+      pm_ref (1, 1, NP_pad), rf_ref (1, 1, k) SMEM per-rung rf values,
+      y_ref, w_ref (1, N_pad, D_pad) shared, stimulus refs,
+      -> Xo_ref, po_ref, rec_ref (1, K8, 128) with per-rung rows
+         [f, me, pgnorm, niter, nfev, status],
+      scratch: the _solve_kernel history blocks."""
+    sh = spec.disc == "SimpsonHermite"
+    n_st = (3 if sh else 2) if has_stim else 0
+    refs = list(refs)
+    X_ref = refs.pop(0)
+    p_ref = refs.pop(0)
+    pm_ref = refs.pop(0)
+    rf_ref = refs.pop(0)
+    y_ref = refs.pop(0)
+    w_ref = refs.pop(0)
+    st_refs = [refs.pop(0) for _ in range(n_st)]
+    Xo_ref, po_ref, rec_ref = refs[:3]
+    scratch = tuple(refs[3:])
+
+    X0 = X_ref[0]
+    dtype = X0.dtype
+    N_pad, D_pad = X0.shape
+    S_w = spec.stim_f.shape[1] if has_stim else 0
+    svals = [r[0][:, :S_w] for r in st_refs]
+    pmask = pm_ref[0]
+    K8 = rec_ref.shape[1]
+    me_norm = jnp.asarray(1.0 / (spec.L * spec.N_data), dtype)
+    W = w_ref[0]
+    Y = y_ref[0]
+    ri = lax.broadcasted_iota(jnp.int32, (K8, 128), 0)
+    ci = lax.broadcasted_iota(jnp.int32, (K8, 128), 1)
+
+    def body(j, carry):
+        X, p, rec = carry
+        rf_j = rf_ref[0, 0, j]
+        fwd = build_fwd(spec, has_stim, "scalar", [rf_j], Y, W,
+                        svals, N_pad, D_pad, dtype)
+        X, p, f, gX, gp, pgn, niter, nfev, status = _solve_one(
+            opts, fwd, pmask, scratch, None, X, p)
+        dobs = X - Y
+        me = me_norm * jnp.sum(W * dobs * dobs)
+        row = ((ci == 0).astype(dtype) * f
+               + (ci == 1).astype(dtype) * me
+               + (ci == 2).astype(dtype) * pgn
+               + (ci == 3).astype(dtype) * niter.astype(dtype)
+               + (ci == 4).astype(dtype) * nfev.astype(dtype)
+               + (ci == 5).astype(dtype) * status.astype(dtype))
+        rec = rec + (ri == j).astype(dtype) * row
+        return X, p, rec
+
+    X, p, rec = lax.fori_loop(
+        0, k, body,
+        (X0, p_ref[0], jnp.zeros((K8, 128), dtype)))
+    Xo_ref[0] = X
+    po_ref[0] = p
+    rec_ref[0] = rec
+
+
+def _ladder_batched(spec, has_stim, opts, k, X, p2, pm, rfs, yv, wv,
+                    sts):
+    """X (B, N_pad, D_pad); rfs (B, 1, k) per-rung rf values."""
+    B, N_pad, D_pad = X.shape
+    NP_pad = p2.shape[-1]
+    m = opts.m
+    K8 = _pad_to(k, 8)
+    kern = functools.partial(_ladder_kernel, spec, has_stim, opts, k)
+    vmem = pltpu.VMEM
+
+    def per_member(shp):
+        return pl.BlockSpec(shp,
+                            lambda b: (b,) + (b * 0,) * (len(shp) - 1),
+                            memory_space=vmem)
+
+    shared3 = pl.BlockSpec((1, N_pad, D_pad),
+                           lambda b: (b * 0, b * 0, b * 0),
+                           memory_space=vmem)
+    in_specs = [per_member((1, N_pad, D_pad)),
+                per_member((1, 1, NP_pad)),
+                per_member((1, 1, NP_pad)),
+                pl.BlockSpec((1, 1, k), lambda b: (b, b * 0, b * 0),
+                             memory_space=pltpu.SMEM),
+                shared3, shared3]
+    args = [X, p2, pm, rfs, yv, wv]
+    if has_stim:
+        S_pad = sts[0].shape[-1]
+        sshared = pl.BlockSpec((1, N_pad, S_pad),
+                               lambda b: (b * 0, b * 0, b * 0),
+                               memory_space=vmem)
+        in_specs += [sshared] * len(sts)
+        args += list(sts)
+    out_specs = [
+        per_member((1, N_pad, D_pad)),
+        per_member((1, 1, NP_pad)),
+        per_member((1, K8, 128)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, N_pad, D_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, 1, NP_pad), X.dtype),
+        jax.ShapeDtypeStruct((B, K8, 128), X.dtype),
+    ]
+    scratch = [
+        pltpu.VMEM((m, N_pad, D_pad), X.dtype),
+        pltpu.VMEM((m, N_pad, D_pad), X.dtype),
+        pltpu.VMEM((m, 1, NP_pad), X.dtype),
+        pltpu.VMEM((m, 1, NP_pad), X.dtype),
+    ]
+    kw = {}
+    if not _INTERPRET[0] and _VMEM_LIMIT > 0:
+        kw["compiler_params"] = _compiler_params()
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, scratch_shapes=scratch,
+        interpret=_INTERPRET[0], **kw)(*args)
+
+
+def make_ladder_solver(spec: ProblemSpec, opts: LBFGSOptions,
+                       n_rungs: int):
+    """Build ``ladder(XP, rfs) -> (XP_out, records)`` running
+    ``n_rungs`` warm-started scalar-rf UNBOUNDED solves in ONE Pallas
+    launch per member (vmap-able via custom_vmap). ``rfs``: (n_rungs,)
+    per-rung rf values (the caller computes rf0 * alpha**beta).
+    ``records``: dict of (n_rungs,) arrays A/ME/FE/pgnorm/niter/nfev/
+    status (A = the in-kernel action at the rung's rf; FE = A - ME).
+    Only valid where :func:`ladder_supported`."""
+    N_f, D, NP = spec.N_f, spec.D, spec.NP
+    N_pad, D_pad, NP_pad, yv, wv, sts = embed_consts(spec)
+    has_stim = spec.stim_f is not None
+    n_st = len(sts)
+    _prep = make_prep(spec, N_pad, D_pad, NP_pad)
+    pmask_np = np.zeros((1, NP_pad), np.float32)
+    if spec.NPest:
+        pmask_np[0, np.asarray(spec.pidx, np.int64)] = 1.0
+    pmask = jnp.asarray(pmask_np)
+    pcols = (np.asarray(spec.pidx, dtype=np.int32)
+             if spec.NPest else None)
+    k = int(n_rungs)
+
+    @jax.custom_batching.custom_vmap
+    def ladder_fn(Xp, p2, pm, rfs, *consts):
+        cy, cw = consts[0], consts[1]
+        outs = _ladder_batched(spec, has_stim, opts, k,
+                               Xp[None], p2[None], pm[None],
+                               rfs[None], cy, cw, consts[2:])
+        return tuple(o[0] for o in outs)
+
+    @ladder_fn.def_vmap
+    def _ladder_vmap(axis_size, in_batched, Xp, p2, pm, rfs, *consts):
+        B = axis_size
+
+        def bc(v, isb):
+            return v if isb else jnp.broadcast_to(v[None],
+                                                  (B,) + v.shape)
+
+        consts = [c[0] if isb else c
+                  for c, isb in zip(consts, in_batched[4:])]
+        outs = _ladder_batched(
+            spec, has_stim, opts, k, bc(Xp, in_batched[0]),
+            bc(p2, in_batched[1]), bc(pm, in_batched[2]),
+            bc(rfs, in_batched[3]), consts[0], consts[1], consts[2:])
+        return outs, (True, True, True)
+
+    def ladder(XP, rfs):
+        rfs = jnp.asarray(rfs, XP.dtype).reshape(1, k)
+        Xp, p2, _, mode = _prep(XP, jnp.asarray(0.0, XP.dtype))
+        if mode != "scalar":
+            raise ValueError("fused ladder kernel is scalar-rf only")
+        Xo, po, rec = ladder_fn(Xp, p2, pmask, rfs, yv, wv, *sts)
+        x_flat = Xo[:N_f, :D].reshape(-1)
+        if spec.NPest:
+            x_flat = jnp.concatenate([x_flat, po[0, pcols]])
+        rec = rec[:k]
+        recs = dict(A=rec[:, 0], ME=rec[:, 1],
+                    FE=rec[:, 0] - rec[:, 1], pgnorm=rec[:, 2],
+                    niter=rec[:, 3].astype(jnp.int32),
+                    nfev=rec[:, 4].astype(jnp.int32),
+                    status=rec[:, 5].astype(jnp.int32))
+        return x_flat, recs
+
+    return ladder
