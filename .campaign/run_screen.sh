@@ -42,7 +42,10 @@ while true; do
     sleep 120
   done
   LAUNCH=$(date +%s)
-  python -u examples/nakl_ensemble.py --all-params --fix-cm --protocols 3 \
+  # CM_FLAG: "--fix-cm" (default, the 18-param campaigns) or "" for the
+  # 19-parameter all-params mode (round-5 VERDICT #6: Cm free)
+  python -u examples/nakl_ensemble.py --all-params ${CM_FLAG---fix-cm} \
+    --protocols 3 \
     --ninit "$NINIT" --record-n 6001 --log-tau --log-g \
     --gate-rf-scale 1e7 --gates-own-ss \
     --maxiter "$MAXITER" --repeats "$REPEATS" --chunk 1 \

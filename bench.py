@@ -19,8 +19,10 @@ vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
 (action implementation; 'ag' = whole-problem fused action+grad kernel,
 kernels/ag_pallas.py; BENCH_PALLAS=1 is a legacy alias for 'pallas'),
 BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
-BENCH_SOLVER=fused|xla (default fused: whole-solve Pallas kernel — the
-entire L-BFGS inner solve in ONE launch per rung,
+BENCH_SOLVER=fused|ladder|xla (default fused: whole-solve Pallas
+kernel — the entire L-BFGS inner solve in ONE launch per rung;
+'ladder': round-5 k-rung fused ladder — the WHOLE beta ladder in one
+launch per member,
 kernels/solve_pallas.py, measured 4.2x XLA on-TPU at identical quality;
 auto-falls-back to the generic loop off-TPU or out of regime),
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
@@ -127,8 +129,32 @@ def main():
         ladder_kw = dict(inner="lm", residual_fn=make_residual_fn(spec),
                          lm_opts=LMOptions(maxiter=maxiter // 10,
                                            ftol=ftol, pgtol=pgtol))
-    fn = make_ensemble_ladder(action, parts, betas, rf0, 1.5, opts=opts,
-                              store_paths=False, **ladder_kw)
+    fn = None
+    if os.environ.get("BENCH_SOLVER") == "ladder":
+        # round-5 (VERDICT r4 #8): the ENTIRE beta ladder in ONE Pallas
+        # launch per member (kernels/solve_pallas.make_ladder_solver) —
+        # no per-rung kernel boundaries, prep/unpack or record chains;
+        # A/B tool benchmarks/ladder_fuse_ab.py
+        from varanneal_tpu.kernels import solve_pallas
+        if solve_pallas.ladder_supported(spec, dtype(1.0), opts,
+                                         n_rungs=n_beta):
+            from types import SimpleNamespace
+            _lad = solve_pallas.make_ladder_solver(spec, opts, n_beta)
+            _rfs = jnp.asarray(rf0, dtype) * jnp.asarray(
+                1.5, dtype) ** betas
+            _lfn = jax.jit(jax.vmap(lambda z: _lad(z, _rfs)))
+
+            def fn(xp):
+                xpo, recs = _lfn(xp)
+                return SimpleNamespace(XP=xpo, A=recs["A"],
+                                       nfev=recs["nfev"])
+        else:
+            print("# BENCH_SOLVER=ladder unsupported here; generic "
+                  "loop", file=sys.stderr)
+    if fn is None:
+        fn = make_ensemble_ladder(action, parts, betas, rf0, 1.5,
+                                  opts=opts, store_paths=False,
+                                  **ladder_kw)
 
     xp0 = jnp.asarray(
         random_ensemble_inits(spec, n_init, seed=3, dtype=dtype))
