@@ -19,10 +19,10 @@ vmapped ensemble — reported value stays per-init), BENCH_NBETA (default
 (action implementation; 'ag' = whole-problem fused action+grad kernel,
 kernels/ag_pallas.py; BENCH_PALLAS=1 is a legacy alias for 'pallas'),
 BENCH_DIRECTION=auto|compact|compact_pallas|two_loop, BENCH_INNER=lbfgs|lm,
-BENCH_SOLVER=fused|ladder|xla (default fused: whole-solve Pallas
-kernel — the entire L-BFGS inner solve in ONE launch per rung;
-'ladder': round-5 k-rung fused ladder — the WHOLE beta ladder in one
-launch per member,
+BENCH_SOLVER=ladder|fused|xla (default ladder, round-5: the WHOLE beta
+ladder in one Pallas launch per member, falling back to 'fused' — the
+entire L-BFGS inner solve in ONE launch per rung — off the ladder
+envelope;
 kernels/solve_pallas.py, measured 4.2x XLA on-TPU at identical quality;
 auto-falls-back to the generic loop off-TPU or out of regime),
 BENCH_TAIL64=K (f64 tail depth, default 20; 0 disables),
@@ -94,7 +94,8 @@ def main():
     opts = LBFGSOptions(maxiter=maxiter, pgtol=pgtol, ftol=ftol,
                         direction=direction, m=m, maxls=maxls)
     ladder_kw = {}
-    if os.environ.get("BENCH_SOLVER", "fused") == "fused":
+    bench_solver = os.environ.get("BENCH_SOLVER", "ladder")
+    if bench_solver in ("fused", "ladder"):
         # whole-solve Pallas kernel: the ENTIRE L-BFGS inner solve in one
         # launch per rung (kernels/solve_pallas.py). Default since the
         # measured real-TPU A/B (PARITY.md): 4.2x XLA at identical final
@@ -130,11 +131,16 @@ def main():
                          lm_opts=LMOptions(maxiter=maxiter // 10,
                                            ftol=ftol, pgtol=pgtol))
     fn = None
-    if os.environ.get("BENCH_SOLVER") == "ladder":
-        # round-5 (VERDICT r4 #8): the ENTIRE beta ladder in ONE Pallas
-        # launch per member (kernels/solve_pallas.make_ladder_solver) —
-        # no per-rung kernel boundaries, prep/unpack or record chains;
-        # A/B tool benchmarks/ladder_fuse_ab.py
+    if bench_solver == "ladder" and "rung_solver" in ladder_kw \
+            and int(os.environ.get("BENCH_PACK", "1")) == 1:
+        # round-5 DEFAULT (VERDICT r4 #8): the ENTIRE beta ladder in ONE
+        # Pallas launch per member (solve_pallas.make_ladder_solver) —
+        # no per-rung kernel boundaries, prep/unpack or record chains.
+        # Measured at the bench shape: 0.0617 vs 0.0627 s/init per-rung
+        # (B=1 A/B harness: 1.13x), identical nfev and final_A_tail64.
+        # Falls back to the per-rung fused rung_solver (already built
+        # above) off the ladder envelope; A/B tool
+        # benchmarks/ladder_fuse_ab.py.
         from varanneal_tpu.kernels import solve_pallas
         if solve_pallas.ladder_supported(spec, dtype(1.0), opts,
                                          n_rungs=n_beta):
@@ -148,9 +154,6 @@ def main():
                 xpo, recs = _lfn(xp)
                 return SimpleNamespace(XP=xpo, A=recs["A"],
                                        nfev=recs["nfev"])
-        else:
-            print("# BENCH_SOLVER=ladder unsupported here; generic "
-                  "loop", file=sys.stderr)
     if fn is None:
         fn = make_ensemble_ladder(action, parts, betas, rf0, 1.5,
                                   opts=opts, store_paths=False,

@@ -76,16 +76,31 @@ def main():
     bitwise = bool(np.array_equal(xp_pr, xp_fu))
     nfev_pr = int(np.asarray(r_pr.nfev).sum())
     nfev_fu = int(np.asarray(r_fu[1]["nfev"]).sum())
+    # quality: final-rung actions, f64-evaluated at identical rf
+    act64, _ = make_action(build_spec(
+        lorenz96, 20, tw["Y"].astype(np.float64), tw["t"], tw["Lidx"],
+        tw["RM"], disc="trapezoid", P=np.array([4.0]), pidx=[0]))
+    jax.config.update("jax_enable_x64", True)
+    rf_top = np.float64(rf0) * 1.5 ** float(NBETA - 1)
+    a64 = jax.jit(jax.vmap(lambda z: act64(z.astype(jnp.float64),
+                                           rf_top)))
+    A_pr = np.asarray(a64(jnp.asarray(xp_pr)))
+    A_fu = np.asarray(a64(jnp.asarray(xp_fu)))
     out = dict(B=B, NBETA=NBETA, MAXITER=MAXITER,
                backend=jax.default_backend(),
                wall_per_rung=w_pr, wall_fused_ladder=w_fu,
                speedup=w_pr / w_fu, xp_bitwise=bitwise,
                nfev_per_rung=nfev_pr, nfev_fused=nfev_fu,
-               per_init_per_rung=w_pr / B, per_init_fused=w_fu / B)
+               per_init_per_rung=w_pr / B, per_init_fused=w_fu / B,
+               A64_final_per_rung=A_pr.tolist(),
+               A64_final_fused=A_fu.tolist())
     print(f"per-rung: {w_pr:.3f}s  fused-ladder: {w_fu:.3f}s  "
           f"speedup {out['speedup']:.2f}x  XP bitwise: {bitwise}  "
           f"nfev {nfev_pr} vs {nfev_fu}  "
           f"({w_fu / B * 1e3:.2f} ms/init fused)")
+    print(f"final A (f64 eval): per-rung med {np.median(A_pr):.6g} "
+          f"vs fused med {np.median(A_fu):.6g}  "
+          f"max rel gap {np.max(np.abs(A_fu - A_pr) / np.abs(A_pr)):.3g}")
     with open("/tmp/ladder_fuse_ab.json", "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote /tmp/ladder_fuse_ab.json")

@@ -1000,8 +1000,12 @@ def _ladder_kernel(spec, has_stim, opts, k, *refs):
         rec = rec + (ri == j).astype(dtype) * row
         return X, p, rec
 
+    # i32 loop bounds: under x64 python-int bounds make the fori index
+    # weak-i64, and Mosaic's i64->i32 _convert_helper recurses forever
+    # (CLAUDE.md lowering pitfalls — bench enables x64 for the f64 tail
+    # BEFORE tracing this kernel)
     X, p, rec = lax.fori_loop(
-        0, k, body,
+        jnp.int32(0), jnp.int32(k), body,
         (X0, p_ref[0], jnp.zeros((K8, 128), dtype)))
     Xo_ref[0] = X
     po_ref[0] = p
