@@ -162,9 +162,12 @@ def comp_sum_block(x):
     k = 1
     while k < D:
         # roll(v, D-k)[j] = v[(j+k) mod D]; lanes j >= D-k wrap — mask
-        # the OUTPUT there to zero-fill the shift
-        hs = jnp.where(ci < D - k, pltpu.roll(hi, D - k, 1), zero)
-        ls = jnp.where(ci < D - k, pltpu.roll(lo, D - k, 1), zero)
+        # the OUTPUT there to zero-fill the shift. i32 shift: a python
+        # int goes weak-i64 under x64 and tpu.dynamic_rotate rejects
+        # i64 operands (measured on hardware, round-5)
+        sh_i = jnp.int32(D - k)
+        hs = jnp.where(ci < D - k, pltpu.roll(hi, sh_i, 1), zero)
+        ls = jnp.where(ci < D - k, pltpu.roll(lo, sh_i, 1), zero)
         hi, e = _two_sum(hi, hs)
         lo = lo + ls + e
         k *= 2
