@@ -59,18 +59,20 @@ class LBFGSOptions:
     # fused into ONE Pallas launch per member — kernels/dir_pallas.py;
     # measured 0.311 vs 0.340 s/init on the canonical bench ladder)
     direction: str = "auto"
-    # bound handling: 'auto' (default — 'subspace' for flat 1-D decision
-    # vectors, 'projection' for pytrees; NOTE the facade's
-    # solver='auto' additionally serves bounded problems in the fused
-    # Pallas kernel's win envelope with PROJECTION semantics — round-4
-    # A/B: identical basin statistics, 3.2-31.9x wall; pass an explicit
-    # 'subspace' to pin the full L-BFGS-B there), 'subspace' (full
-    # L-BFGS-B: generalized Cauchy point + free-subspace direct solve,
-    # opt/lbfgsb.py — matches the reference's Fortran algorithm;
-    # converges deeper per iteration, but measured 3-10x slower
-    # WALL-CLOCK than projection on TPU bounded ladders, PARITY round-4
-    # bounded A/B), or 'projection' (active-set freezing +
-    # projected-path Armijo — works on any pytree)
+    # bound handling: 'auto' (default — PROJECTION, round-5
+    # data-backed flip: the paired 18-param campaign measured identical
+    # hit rate [24/24 both], equal converged actions and slightly
+    # better parameter errors at 1.70x less wall than subspace, and the
+    # CPU f64 bounded ladder measured 4.5x — on top of round-4's 3-10x
+    # TPU bounded A/Bs; the facade's solver='auto' additionally serves
+    # bounded problems in the fused Pallas kernel with the same
+    # projection semantics), 'subspace' (full L-BFGS-B: generalized
+    # Cauchy point + free-subspace direct solve, opt/lbfgsb.py —
+    # matches the reference's Fortran algorithm ITERATE-FOR-ITERATE;
+    # pass explicitly for reference-parity runs; converges deeper per
+    # rung mid-ladder but to the same minima), or 'projection'
+    # (active-set freezing + projected-path Armijo — works on any
+    # pytree)
     bounded_algo: str = "auto"
 
 
@@ -623,7 +625,10 @@ def lbfgs_minimize(value_and_grad, x0, *, lower=None, upper=None,
                      else "compact")
     algo = opts.bounded_algo
     if algo == "auto":
-        algo = "subspace" if flat else "projection"
+        # round-5 flip (was: 'subspace' for flat vectors): projection
+        # everywhere — see the LBFGSOptions.bounded_algo note for the
+        # paired-campaign + CPU measurements behind it
+        algo = "projection"
     if bounded and algo == "subspace":
         if not flat:
             raise ValueError(
