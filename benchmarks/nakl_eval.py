@@ -61,6 +61,35 @@ def main():
     log_loc = [j for j, pi in enumerate(Pidx) if pi in LOG_IDX]
     n_state_tot = K * (2 * N - 1) * 4
 
+    if "p_all" in keys and not args.use_snapshot:
+        # polished multi-member save (phase 2): per-member parameter
+        # estimates stored directly as p_all (B, npar) with A_polished
+        # ranking — the state vector only carries the winner (round-5)
+        # p_all is stored ALREADY back-transformed to linear scale
+        # (examples/nakl_ensemble.py applies p_linear before saving)
+        ests_raw = np.asarray(d["p_all"])
+        npar = ests_raw.shape[1]
+        Pidx = list(range(1, 19)) if npar == 18 else list(range(19))
+        log_loc = []
+        truth = np.asarray(NAKL_P_TRUE)[Pidx]
+        names = [NAKL_PNAMES[pi] for pi in Pidx]
+        A1 = (np.asarray(d["A_polished"]) if "A_polished" in keys
+              else np.zeros(len(ests_raw)))
+        cand = (np.asarray(d["candidates"]) if "candidates" in keys
+                else np.arange(len(ests_raw)))
+        print(f"{args.save}: POLISHED save, {len(ests_raw)} members, "
+              f"npar={npar}, log_tau={log_tau}, log_g={log_g}")
+        for r in np.argsort(A1):
+            p = ests_raw[r].astype(np.float64).copy()
+            if log_loc:
+                p[log_loc] = np.exp(p[log_loc])
+            rel = np.abs(p - truth) / np.abs(truth)
+            print(f"  member {int(cand[r]):3d}: A={A1[r]:.6g} "
+                  f"med {np.median(rel) * 100:5.1f}% "
+                  f"max {np.max(rel) * 100:6.1f}% "
+                  f"(worst {names[int(np.argmax(rel))]})")
+        return
+
     if args.use_snapshot:
         xp = d["xp_snap"] if "xp_snap" in keys else d["snap0"]
     elif "xp" in keys:
